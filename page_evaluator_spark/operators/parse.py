@@ -1,0 +1,269 @@
+"""Parse/extract stage: interleaved-span documents → token/media/meta/error rows.
+
+The ONLY Python boundary in the pipeline (Arrow-batched ``mapInPandas``; no
+per-row Python UDFs, per BASELINE.json input_hint).  Everything downstream
+(classification, aggregation, scoring) is native Catalyst.
+
+Skew design: the unit of work is a *span* (one page), not a document —
+``explode_docs`` posexplodes the spans array natively, and a repartition
+spreads a pathological document's 10^6 spans across the cluster
+(SURVEY.md §4.2 "skew: giant pages/docs").  Hyphen-join state is span-local
+(a span == one reference page), so per-span parallelism loses nothing.
+
+Semantics transliterated from the read-only reference (citations inline):
+  hOCR:  HOCRPage.java:37-62, HOCRTokenIterator.java:21-82, HOCRToken.java:20-42
+  TXT:   TxtPage.java:37-61 + OpenNLP SimpleTokenizer 1.5.3
+  fold:  OCRPage.java:38-49 (trim → EOL-hyphen join → drop empty)
+Deviation (required at 10^12-doc scale): parse failures become quarantine rows
+instead of the reference's process-kill (Main.java:46-49) — SURVEY.md §2 S5.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import regex
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "table", "figure")
+TEXT_KINDS = ("text", "hocr")
+
+# Output relation of the parse stage.  kind: 'word' (a final token),
+# media pass-through ('image'/'table'/'figure'), 'page' (per-parsed-span
+# metadata), 'error' (quarantine).  pos = 0-based emit position within the
+# span (words) / the span itself (media) — (span_offset, pos) is the total
+# order that defines spans_out.
+PARSED_SCHEMA = (
+    "doc_id string, span_offset int, pos int, kind string, text string, "
+    "media_ref string, line_idx int, tok_idx int, "
+    "page_id string, ocr_engine string, ocr_capabilities array<string>, error string"
+)
+
+# --- TXT path (TxtPage.java:24,41-54) --------------------------------------
+# Java \s / \S here are ASCII-only (no UNICODE_CHARACTER_CLASS).
+_NWS = r"[^ \t\n\x0B\f\r]"
+_WS = r"[ \t\n\x0B\f\r]"
+_HYPHEN_WORD = regex.compile("(" + _NWS + r"*\p{L})-\n(\p{L}" + _NWS + r"*)" + _WS + "*")
+# OpenNLP SimpleTokenizer as one scan: letter runs | digit runs (Nd) |
+# same-char runs of other.  Whitespace = Character.isWhitespace ∪ Zs.
+_TOKEN = regex.compile(r"\p{L}+|\p{Nd}+|([^\p{L}\p{Nd}\p{Zs}\p{Zl}\p{Zp}\t-\r\x1c-\x1f])\1*")
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
+def _tokenize_txt(text: str) -> list[str]:
+    """TxtPage.parse: reflow (:41-47) → dehyphenate (:50-52) → tokenize (:54)."""
+    kept = [ln.strip(_JAVA_TRIM) for ln in text.splitlines()]
+    body = "".join(ln + "\n" for ln in kept if ln)
+    body = _HYPHEN_WORD.sub(r"\1\2\n", body)
+    return [m.group(0) for m in _TOKEN.finditer(body)]
+
+
+# --- hOCR path (HOCRPage.java, HOCRTokenIterator.java) ----------------------
+
+def _parse_hocr(xml_text: str) -> tuple[list[str], list[bool], str, str, list[str]]:
+    """→ (token_texts, is_last_on_line flags, page_id, engine, capabilities).
+
+    Raises ValueError on anything the reference turns into PageParserException
+    or a crash (missing ocr_page → NPE, HOCRPage.java:53-61; malformed title
+    segment → StringIndexOutOfBounds, HOCRToken.java:22-29).
+    """
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise ValueError(f"PageParserException: {e}") from e
+
+    engine, caps = "", ""
+    head = root.find("head")
+    if head is not None:  # /html/head/meta[@name=...]/@content, HOCRPage.java:48-51
+        for meta in head.iter("meta"):
+            name = meta.get("name")
+            if name == "ocr-system":
+                engine = meta.get("content", "")
+            elif name == "ocr-capabilities":
+                caps = meta.get("content", "")
+
+    page = next((e for e in root.iter() if e.get("class") == "ocr_page"), None)
+    if page is None:  # first //*[@class='ocr_page'] only, HOCRPage.java:53-55
+        raise ValueError("PageParserException: no ocr_page element")
+    page_id = page.get("id", "")
+
+    texts: list[str] = []
+    last: list[bool] = []
+    for line in (e for e in page.iter() if e is not page and e.get("class") == "ocr_line"):
+        words = [e for e in line.iter() if e is not line and e.get("class") == "ocrx_word"]
+        n = len(words)  # zero-word lines skipped, HOCRTokenIterator.java:60-82
+        for i, w in enumerate(words):
+            for prop in w.get("title", "").split(";"):  # HOCRToken.java:22-29
+                if prop.strip().find(" ") < 0:
+                    raise ValueError(f"bad hOCR title segment: {prop.strip()!r}")
+            texts.append("".join(w.itertext()))  # getTextContent, HOCRToken.java:40-42
+            last.append(i == n - 1)  # HOCRTokenIterator.java:45
+    return texts, last, page_id, engine, caps.split(" ")
+
+
+# --- the sequential fold, vectorized (OCRPage.java:38-49) --------------------
+
+def join_hyphen_tokens(texts: list[str], is_last: list[bool]) -> list[str]:
+    """Trim → EOL-hyphen join → drop empties → NFC (OCRPage.java:38-49).
+
+    Sequential semantics: a candidate (is_last ∧ endswith('-') ∧ hasNext)
+    consumes the NEXT token; the consumed token never joins on its own and the
+    joined result is not re-checked (no chains).  Within a maximal run of
+    consecutive candidates, joins therefore alternate — computed vectorized
+    via run-position parity instead of a Python loop.
+    """
+    n = len(texts)
+    if n == 0:
+        return []
+    t = np.array([s.strip(_JAVA_TRIM) for s in texts], dtype=object)
+    cand = np.fromiter(
+        (bool(is_last[i]) and t[i].endswith("-") and i < n - 1 for i in range(n)),
+        dtype=bool, count=n)
+    idx = np.arange(n)
+    run_start = np.maximum.accumulate(np.where(cand, 0, idx + 1))  # start of candidate run
+    join = cand & (((idx - run_start) % 2) == 0)
+    consumed = np.zeros(n, dtype=bool)
+    consumed[1:] = join[:-1]
+    out: list[str] = []
+    for i in range(n):
+        if consumed[i]:
+            continue
+        s = t[i][:-1] + t[i + 1] if join[i] else t[i]
+        if s:  # OCRPage.java:48-49
+            out.append(unicodedata.normalize("NFC", s))  # frozen NFC rule (CANON_EQ)
+    return out
+
+
+# --- hyphen fold with line/tok provenance (for the token relation) -----------
+
+def _fold_tokens(texts: list[str], is_last: list[bool],
+                 lines: list[int], toks: list[int]) -> list[tuple[str, int, int]]:
+    """join_hyphen_tokens + provenance of the surviving (first) token."""
+    n = len(texts)
+    out: list[tuple[str, int, int]] = []
+    if n == 0:
+        return out
+    t = [s.strip(_JAVA_TRIM) for s in texts]
+    i = 0
+    while i < n:
+        s = t[i]
+        li, ti = lines[i], toks[i]
+        if is_last[i] and s.endswith("-") and i + 1 < n:
+            s = s[:-1] + t[i + 1]
+            i += 2
+        else:
+            i += 1
+        if s:
+            out.append((unicodedata.normalize("NFC", s), li, ti))
+    return out
+
+
+class _Out:
+    """Column accumulator for one output batch."""
+
+    __slots__ = ("cols",)
+    _names = ["doc_id", "span_offset", "pos", "kind", "text", "media_ref",
+              "line_idx", "tok_idx", "page_id", "ocr_engine", "ocr_capabilities", "error"]
+
+    def __init__(self) -> None:
+        self.cols: dict[str, list[Any]] = {n: [] for n in self._names}
+
+    def add(self, doc_id, span_offset, pos, kind, text=None, media_ref=None,
+            line_idx=None, tok_idx=None, page_id=None, engine=None, caps=None,
+            error=None) -> None:
+        c = self.cols
+        c["doc_id"].append(doc_id)
+        c["span_offset"].append(span_offset)
+        c["pos"].append(pos)
+        c["kind"].append(kind)
+        c["text"].append(text)
+        c["media_ref"].append(media_ref)
+        c["line_idx"].append(line_idx)
+        c["tok_idx"].append(tok_idx)
+        c["page_id"].append(page_id)
+        c["ocr_engine"].append(engine)
+        c["ocr_capabilities"].append(caps)
+        c["error"].append(error)
+
+    def frame(self) -> pd.DataFrame:
+        df = pd.DataFrame(self.cols)
+        for int_col in ("span_offset", "pos", "line_idx", "tok_idx"):
+            df[int_col] = df[int_col].astype("Int32")
+        return df
+
+
+def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over exploded span rows
+    (doc_id, span_offset, kind, text, media_ref)."""
+    for pdf in batches:
+        out = _Out()
+        for doc_id, span_offset, kind, text, media_ref in zip(
+                pdf["doc_id"], pdf["span_offset"], pdf["kind"], pdf["text"], pdf["media_ref"]):
+            span_offset = int(span_offset)
+            if kind in MEDIA_KINDS:
+                out.add(doc_id, span_offset, 0, kind, media_ref=media_ref)
+                continue
+            try:
+                if kind == "hocr":
+                    texts, last, page_id, engine, caps = _parse_hocr(text or "")
+                    # token provenance: line/tok indices in document order
+                    lines, toks = [], []
+                    li, ti = -1, 0
+                    prev_new = True
+                    for j in range(len(texts)):
+                        if prev_new:
+                            li += 1
+                            ti = 0
+                        lines.append(li)
+                        toks.append(ti)
+                        ti += 1
+                        prev_new = last[j]
+                    out.add(doc_id, span_offset, -1, "page", page_id=page_id,
+                            engine=engine, caps=caps)
+                    folded = _fold_tokens(texts, last, lines, toks)
+                elif kind == "text":
+                    tok_texts = _tokenize_txt(text or "")
+                    # TxtToken.isLastTokenOnLine() == false always (TxtToken.java:19-21)
+                    folded = _fold_tokens(tok_texts, [False] * len(tok_texts),
+                                          [0] * len(tok_texts), list(range(len(tok_texts))))
+                else:
+                    raise ValueError(f"Unsupported format: {kind}")  # Main.java:87-88
+            except ValueError as e:
+                out.add(doc_id, span_offset, -1, "error", error=str(e))
+                continue
+            for p, (tok, li, ti) in enumerate(folded):
+                out.add(doc_id, span_offset, p, "word", text=tok, line_idx=li, tok_idx=ti)
+        yield out.frame()
+
+
+def explode_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → one row per span, natively (skew-splitting explode)."""
+    return docs.select(
+        "doc_id",
+        F.explode_outer("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.offset").alias("span_offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    ).where(F.col("span_offset").isNotNull())
+
+
+def parse_spans(span_rows: DataFrame, repartition: int | None = None) -> DataFrame:
+    """Span rows → parsed relation (PARSED_SCHEMA) via Arrow-batched mapInPandas."""
+    if repartition:
+        # hash-spread spans (incl. a giant doc's spans) across the cluster
+        span_rows = span_rows.repartition(repartition, "doc_id", "span_offset")
+    return span_rows.mapInPandas(_parse_span_batches, schema=PARSED_SCHEMA)
+
+
+def parse_documents(docs: DataFrame, repartition: int | None = None) -> DataFrame:
+    """(doc_id, spans) documents table → parsed relation."""
+    return parse_spans(explode_docs(docs), repartition=repartition)

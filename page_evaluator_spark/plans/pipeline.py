@@ -1,0 +1,35 @@
+"""End-to-end pipeline assembly: documents table → {page_scores, spans_out,
+quarantine, page_meta} (the Spark re-expression of Main.java:26-50's
+parse → calculateStatistics → scores flow, widened to a corpus).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..operators.parse import parse_documents
+from ..operators.score import score_pages
+from ..operators.spans import page_meta, quarantine, spans_out
+
+
+@dataclass
+class PipelineOutputs:
+    parsed: DataFrame
+    page_scores: DataFrame
+    spans_out: DataFrame
+    quarantine: DataFrame
+    page_meta: DataFrame
+
+
+def evaluate_documents(docs: DataFrame, repartition: int | None = None) -> PipelineOutputs:
+    """Build the full logical plan (lazy; nothing executes here)."""
+    parsed = parse_documents(docs, repartition=repartition)
+    return PipelineOutputs(
+        parsed=parsed,
+        page_scores=score_pages(parsed, all_docs=docs),
+        spans_out=spans_out(parsed),
+        quarantine=quarantine(parsed),
+        page_meta=page_meta(parsed),
+    )

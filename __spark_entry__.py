@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full OCR page-evaluation pipeline over a span-table
+                built from /root/testdata/sf0.001/documents.parquet.
+queries()     — one entry per implemented operator family (SURVEY.md §2.6) +
+                the training-data-pipeline extras (dedup/similarity/textstats/
+                media/streaming) + the OCR pipeline itself.
+oracle_sql()  — DuckDB twins for every SQL-expressible query (identical
+                aliases/types); non-SQL-expressible ops are rows-only.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: score every page of a span-table corpus (SURVEY.md §7.4).
+
+    Builds the BASELINE.json input_hint table (doc_id, spans) from the
+    sf0.001 documents parquet (each text becomes a TXT span; every 5th doc
+    also carries a media span) and runs scan → explode → Arrow parse UDF →
+    native classify → per-doc agg → scores.
+    """
+    from page_evaluator_spark.plans.pipeline import evaluate_documents
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = raw.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(
+                F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).cast("int").alias("offset")),
+                F.struct(F.lit("image").alias("kind"), F.lit(None).cast("string").alias("text"),
+                         F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
+                         F.lit(1).cast("int").alias("offset")),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).cast("int").alias("offset")),
+            ),
+        ).alias("spans"),
+    )
+    return evaluate_documents(docs).page_scores
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from page_evaluator_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from page_evaluator_spark.queries import oracle_sql as _oracle
+
+    return dict(_oracle())

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+plus the OCR pipeline's pages/sec throughput at multiple parallelism levels
+for the north_rule N→4N scaling-efficiency evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "pipeline": {...pages/sec + scaling...}}
+
+Method (BASELINE.md protocol):
+  * input pre-generated to a cached parquet (generation excluded from timing);
+  * each parallelism level runs in its OWN subprocess (fresh JVM — no
+    cross-contamination of heap/JIT/python-worker state);
+  * per level: 1 warmup + 2 timed runs, median reported;
+  * primary scaling pair is local[2] → local[8] (both below the single-box
+    memory-bandwidth saturation point, the honest proxy for adding executor
+    machines); local[8] → local[32] is reported as a secondary pair — on one
+    box the 32-thread run shares one memory bus + LLC with 32 Python workers,
+    which a real 4N-machine cluster does not (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+REPARTITION = 256
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_part_revenue",
+    "window_top_orders_per_cust",
+    "events_sessionize",
+    "doc_quality",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+]
+
+
+def _corpus_path() -> tuple[str, int]:
+    """Pre-generate (and cache) the seeded span corpus; excluded from timing."""
+    path = f"/tmp/pageeval_bench_corpus_v2_{BENCH_DOCS}.parquet"
+    meta = path + ".meta"
+    if os.path.exists(path) and os.path.exists(meta):
+        return path, int(Path(meta).read_text())
+    from page_evaluator_spark.corpus import gen_corpus, write_corpus_parquet
+
+    docs = gen_corpus(BENCH_DOCS, seed=42, skew_docs=4, skew_spans=800)
+    write_corpus_parquet(path, docs, row_group_size=512)
+    Path(meta).write_text(str(len(docs)))
+    return path, len(docs)
+
+
+def _pipeline_subprocess(master: str, corpus: str) -> float:
+    """Run the full pipeline (scores + spans_out → noop) in a fresh JVM."""
+    code = f"""
+import sys, time, json
+sys.path.insert(0, {str(REPO)!r})
+from page_evaluator_spark.session import get_spark
+from page_evaluator_spark.plans.pipeline import evaluate_documents
+spark = get_spark(master={master!r}); spark.sparkContext.setLogLevel("ERROR")
+def sink(df): df.write.format("noop").mode("overwrite").save()
+def run():
+    out = evaluate_documents(spark.read.parquet({corpus!r}), repartition={REPARTITION})
+    sink(out.page_scores); sink(out.spans_out)
+run()
+ts = []
+for _ in range(2):
+    t0 = time.perf_counter(); run(); ts.append(time.perf_counter() - t0)
+print("BENCHJSON " + json.dumps(sorted(ts)))
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                         timeout=1200)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            times = json.loads(line[len("BENCHJSON "):])
+            return statistics.median(times)
+    raise RuntimeError(f"pipeline subprocess failed for {master}:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    corpus, n_docs = _corpus_path()
+
+    # --- scaling evidence (fresh JVM per level) ---
+    levels = {2: None, 8: None, CPUS: None}
+    for cores in levels:
+        levels[cores] = _pipeline_subprocess(f"local[{cores}]", corpus)
+    pipeline: dict = {"n_docs": n_docs, "repartition": REPARTITION}
+    for cores, sec in levels.items():
+        pipeline[f"sec_{cores}c"] = round(sec, 3)
+        pipeline[f"pages_per_sec_{cores}c"] = round(n_docs / sec, 1)
+    eff_primary = levels[2] / (4 * levels[8])
+    eff_secondary = levels[8] / ((CPUS / 8) * levels[CPUS])
+    pipeline["scaling_efficiency_2c_to_8c"] = round(eff_primary, 3)
+    pipeline[f"scaling_efficiency_8c_to_{CPUS}c"] = round(eff_secondary, 3)
+
+    # --- headline queries at full parallelism (in-process) ---
+    from page_evaluator_spark.queries import QUERIES
+    from page_evaluator_spark.session import get_spark
+
+    spark = get_spark(app_name="pageeval-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qtimes: dict[str, float] = {}
+    try:
+        for name in HEADLINE:
+            fn = QUERIES[name]
+
+            def run_query(fn=fn):
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+            run_query()  # warmup
+            t0 = time.perf_counter()
+            run_query()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        qtimes["ocr_pipeline"] = pipeline[f"sec_{CPUS}c"]
+    finally:
+        spark.stop()
+
+    total = round(sum(qtimes.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall seconds (sf dir) + OCR pipeline pages/sec "
+                  "with N→4N scaling efficiency (fresh JVM per level)",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pipeline": pipeline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

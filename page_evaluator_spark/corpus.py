@@ -220,8 +220,10 @@ def corpus_to_spark_df(spark, docs: list[dict]):
     return spark.createDataFrame(rows, schema=SPANS_DDL)
 
 
-def write_corpus_parquet(path: str, docs: list[dict]) -> None:
-    """Write the corpus with pyarrow (no Spark needed; used to pre-generate bench input)."""
+def write_corpus_parquet(path: str, docs: list[dict], row_group_size: int = 256) -> None:
+    """Write the corpus with pyarrow (no Spark needed; used to pre-generate bench
+    input).  Small row groups keep the single file splittable into many scan
+    tasks — a 1-row-group file would serialize the whole parse stage."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -236,4 +238,4 @@ def write_corpus_parquet(path: str, docs: list[dict]) -> None:
              for d in docs],
             pa.list_(span_type)),
     })
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

@@ -1,0 +1,97 @@
+"""Text-analysis functions for training-data curation, all native Catalyst
+expressions (JVM regex, codegen) and co-expressible in ANSI SQL (RE2-safe —
+no backreferences) for differential testing.
+
+Covers: language ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + regex token
+classes), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (deterministic heuristic, not a model).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+PORTABLE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (split on \\s+ of trimmed text)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish regex token count: letter runs / digit runs / single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(PORTABLE_TOKEN_RE), 0)).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    """ASCII-punctuation chars / non-space chars (0.0 for empty)."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    # count-by-removal keeps the expression portable (same trick in the oracle SQL)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(nonspace == 0, F.lit(0.0)) \
+            .otherwise(punct.cast("double") / nonspace.cast("double"))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Letter chars / non-space chars (0.0 for empty)."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    return F.when(nonspace == 0, F.lit(0.0)) \
+            .otherwise(alpha.cast("double") / nonspace.cast("double"))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of language-marker word occurrences (word-boundary padded)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        if lang == "zh":  # no word boundaries in zh — substring count
+            pat = w
+        else:
+            pat = f" {w} "
+        total = total + F.coalesce(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) /
+            F.length(F.lit(pat)), F.lit(0))
+    return total.cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-hit counts; 'und' when all zero.
+
+    Deterministic tiebreak: higher count wins, then lexicographic lang code.
+    """
+    pairs = [(lang, stopword_hits(text, lang)) for lang in sorted(LANG_MARKERS)]
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, n in pairs:  # sorted order ⇒ first max wins ties
+        take = n > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] curation score: favors alpha-rich, punct-light,
+    reasonable-length documents.  Deterministic, portable arithmetic."""
+    n_tok = ws_token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * alpha_ratio(text) + F.lit(0.3) * len_score
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All built on deterministic, engine-portable hashing (md5 hex strings), so the
+same definitions are expressible in ANSI SQL for differential testing, and
+results are stable across cluster sizes and retries.
+
+Scale design notes:
+  * exact dedup = one hash-aggregate on a 32-byte key (shuffle carries the
+    hash, never the text);
+  * MinHash+LSH = shingle explode → per-doc signature (array_min over a
+    transform — no shuffle) → band-key explode → self-join on band key.
+    The self-join is banded so candidate pairs ≪ n²; AQE skew-join splits
+    hot buckets (e.g. boilerplate-heavy shards);
+  * SimHash = fixed 64-bit signature per doc; near-dup candidates via exact
+    signature-band match (rotation buckets), no n² anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization used for shingling: portable between Spark and DuckDB/RE2
+# (no backreferences): letter runs | digit runs | single other char.
+PORTABLE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased text — the exact-dedup key basis."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) → (hash, n_docs, canonical id)."""
+    return (docs
+            .withColumn("content_hash", F.md5(normalized_text(F.col(text_col))))
+            .groupBy("content_hash")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min(id_col).alias("canonical_id")))
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct, sorted n-gram token shingles of the normalized text.
+
+    Built natively: tokenize → sliding windows via transform over an index
+    sequence → concat_ws.  Sorted-distinct so the set is canonical.
+    """
+    toks = F.regexp_extract_all(normalized_text(col), F.lit(PORTABLE_TOKEN_RE), 0)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    windows = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_sort(F.array_distinct(
+        F.when(F.size(toks) >= n, windows).otherwise(
+            # shorter-than-n docs: one shingle = whole token stream (keeps
+            # tiny docs comparable instead of silently dropped)
+            F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+            .otherwise(F.array().cast("array<string>")))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: element i = min over shingles of md5(i || shingle).
+
+    Portable (md5 is identical in DuckDB) and deterministic; array_min is a
+    per-row fold — no shuffle, no UDF.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_band_keys(signature: Column, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """LSH band keys: concat the band's signature rows; equal key ⇒ candidate pair."""
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.element_at(signature, b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+
+
+def minhash_signatures_agg(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           shingle_n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures via explode + partial-aggregated min.
+
+    Faster shape than the per-row array fold at scale: the explode feeds a
+    hash aggregate with map-side combine, so the shuffle carries one
+    (doc_id, 16×32B) row per doc per partition, and md5 evaluation is a flat
+    codegen'd projection instead of a 16-way nested array expression.
+    Output: doc_id, mh_0..mh_{num_hashes-1}.
+    """
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(token_shingles(F.col(text_col), shingle_n)).alias("shingle")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           shingle_n: int = 3, num_hashes: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via MinHash + banded LSH."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_agg(docs, text_col, id_col, shingle_n, num_hashes)
+    band_keys = F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)])
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, "band_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Shingle-inverted-index join (explode → self-join on shingle → count
+    intersections), the classic sparse-similarity plan: cost ∝ shared
+    shingles, never n².  At 100 TB you'd gate this behind the LSH candidates;
+    here it doubles as the LSH oracle.
+    """
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      token_shingles(F.col(text_col), shingle_n).alias("shingles"))
+          .where(F.size("shingles") > 0))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common").cast("double")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def simhash64(col: Column, token_re: str = PORTABLE_TOKEN_RE) -> Column:
+    """64-bit SimHash of the token multiset, natively.
+
+    Per token: 64-bit hash = xxhash64; per bit: +1 if set else -1, summed over
+    tokens; signature bit = sign of the sum.  Expressed as 64 conditional
+    sums folded by aggregate() — no UDF, no shuffle.
+    """
+    toks = F.regexp_extract_all(normalized_text(col), F.lit(token_re), 0)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _signed64(v: int) -> int:
+        # Java longs are signed: bit 63's mask must wrap negative
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def _bit_sum(mask: int):
+        # sum over tokens of (bit set ? 1 : -1); factory closure because
+        # PySpark introspects lambda arity (default args would break it)
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+
+    bit_exprs = []
+    for bit in range(64):
+        s = _bit_sum(_signed64(1 << bit))
+        bit_exprs.append(
+            F.when(s > 0, F.lit(_signed64(1 << bit)).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig.bitwiseOR(e)
+    return sig
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 64-bit SimHash signatures (near-dup = small Hamming distance)."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into n_bands 16-bit keys;
+    pairs agreeing on ≥1 band are candidates, then exact Hamming filter."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)))
+            for b in range(n_bands)])).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, "band_key")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

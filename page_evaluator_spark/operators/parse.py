@@ -205,6 +205,9 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         out = _Out()
         for doc_id, span_offset, kind, text, media_ref in zip(
                 pdf["doc_id"], pdf["span_offset"], pdf["kind"], pdf["text"], pdf["media_ref"]):
+            if kind is None or (isinstance(kind, float)) or pd.isna(span_offset):
+                out.add(doc_id, 0, 0, "empty")  # zero-span document marker
+                continue
             span_offset = int(span_offset)
             if kind in MEDIA_KINDS:
                 out.add(doc_id, span_offset, 0, kind, media_ref=media_ref)
@@ -237,6 +240,10 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             except ValueError as e:
                 out.add(doc_id, span_offset, -1, "error", error=str(e))
                 continue
+            if not folded and kind == "text":
+                # token-less TXT span: keep the doc_id alive in the parsed
+                # relation (hOCR spans already emit a 'page' metadata row)
+                out.add(doc_id, span_offset, -1, "empty")
             for p, (tok, li, ti) in enumerate(folded):
                 out.add(doc_id, span_offset, p, "word", text=tok, line_idx=li, tok_idx=ti)
         yield out.frame()
@@ -253,7 +260,10 @@ def explode_docs(docs: DataFrame) -> DataFrame:
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
-    ).where(F.col("span_offset").isNotNull())
+    )
+    # explode_outer keeps zero-span docs as a null-span row; the parse kernel
+    # turns those into kind='empty' markers so every doc_id survives into the
+    # parsed relation (and therefore gets a score row) without any extra join.
 
 
 def parse_spans(span_rows: DataFrame, repartition: int | None = None) -> DataFrame:

@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers (SURVEY-mandated scale path):
+  * brute-force cosine top-k — the exactness baseline; broadcast the (small)
+    query set, score every row, per-query top-k via window.  Linear scan,
+    embarrassingly parallel, no shuffle except the final per-query top-k.
+  * LSH-bucketed ANN (random signed projections) — at 100 TB the scan itself
+    is the bottleneck; hyperplane-LSH buckets shrink candidates to the probed
+    buckets only.  Deterministic projections (seeded hash) so results are
+    reproducible across runs/cluster sizes.
+
+All dot products are native (zip_with + aggregate fold, sequential
+left-to-right in doubles — deterministic, and co-expressible in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — deterministic double summation order."""
+    return F.aggregate(F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(_to_double(a), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k: every query × every row, broadcast the query side.
+
+    queries: (query_id, embedding).  Returns (query_id, rank, neighbor_id,
+    cosine_sim) excluding self-matches.
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
+                                   F.col(vec_col).alias("q_vec")))
+    scored = (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("e_vec"))
+              .crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def _projection_vectors(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, engine-independent)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection LSH bucket id: bit i = sign(vec · plane_i)."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(_to_double(vec), F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                 n_planes: int = 6, dim: int = 64, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    With 2^n_planes buckets the scan shrinks ~2^n_planes-fold; recall is
+    tunable via n_planes (fewer planes = bigger buckets = higher recall).
+    """
+    planes = _projection_vectors(dim, n_planes, seed)
+    e = (embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
+         .withColumn("bucket", lsh_bucket(F.col("e_vec"), planes)))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", lsh_bucket(F.col("q_vec"), planes)))
+    scored = (e.join(q, "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 6, dim: int = 64, seed: int = 42,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + threshold filter."""
+    planes = _projection_vectors(dim, n_planes, seed)
+    e = (embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+         .withColumn("bucket", lsh_bucket(F.col("vec"), planes)))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, "bucket")
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+            .where(F.col("cosine_sim") >= threshold)
+            .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                    F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -23,12 +23,22 @@ class PipelineOutputs:
     page_meta: DataFrame
 
 
-def evaluate_documents(docs: DataFrame, repartition: int | None = None) -> PipelineOutputs:
-    """Build the full logical plan (lazy; nothing executes here)."""
+def evaluate_documents(docs: DataFrame, repartition: int | None = None,
+                       cache_parsed: bool = False) -> PipelineOutputs:
+    """Build the full logical plan (lazy; nothing executes here).
+
+    cache_parsed=True persists the parse-UDF output (MEMORY_AND_DISK) so the
+    four output branches share one parse pass instead of re-running the
+    Python stage per sink — the right call whenever ≥2 outputs are written.
+    """
     parsed = parse_documents(docs, repartition=repartition)
+    if cache_parsed:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     return PipelineOutputs(
         parsed=parsed,
-        page_scores=score_pages(parsed, all_docs=docs),
+        page_scores=score_pages(parsed),
         spans_out=spans_out(parsed),
         quarantine=quarantine(parsed),
         page_meta=page_meta(parsed),

@@ -1,0 +1,770 @@
+"""Driver-harness queries: one entry per operator family (SURVEY.md §2.6),
+each with a DuckDB-oracle ANSI-SQL twin where SQL-expressible.
+
+Conventions shared by Spark and SQL sides (so the driver's value-hash match
+holds): identical column aliases, BIGINT for counts/sums-of-int, DOUBLE with
+explicit round() for float aggregates, deterministic tiebreaks in every
+window/top-k ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import textstats as TS
+from .operators import dedup as DD
+from .operators import similarity as SIM
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """Filter → hash agg → sort (TPC-H Q1 shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join → agg → deterministic top-10."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10))
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """6-way join (region→nation→customer→orders→lineitem→supplier)."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (r.join(n, r.r_regionkey == n.n_regionkey)
+            .join(c, n.n_nationkey == c.c_nationkey)
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.col("revenue").desc()))
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
+def broadcast_part_revenue(spark, sf_dir):
+    """Explicit broadcast hash join of the small dimension (the lexicon-join
+    pattern, SURVEY.md §2.6 'Joins')."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy("p_brand"))
+
+
+_BROADCAST_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def window_top_orders_per_cust(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "rn", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+"""
+
+
+def window_order_gaps(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+            .where(F.col("prev_date").isNotNull())
+            .select("o_custkey", "o_orderkey",
+                    F.datediff("o_orderdate", "prev_date").alias("gap_days")))
+
+
+_WINDOW_GAPS_SQL = """
+SELECT o_custkey, o_orderkey, CAST(datediff('day', prev_date, o_orderdate) AS INT) AS gap_days
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders) WHERE prev_date IS NOT NULL
+"""
+
+
+def rollup_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_events_dow(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("int").alias("dow")  # 0 = Sunday, both engines
+    return (ev.select("event_type", dow, "value")
+            .cube("event_type", "dow")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+_CUBE_SQL = """
+SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS INT))
+"""
+
+
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT + EXCEPT, tagged and unioned."""
+    c = load(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    both = rich.intersect(auto).withColumn("tag", F.lit("both"))
+    only_rich = rich.exceptAll(auto).withColumn("tag", F.lit("only_rich"))
+    return both.unionByName(only_rich).select("tag", "c_custkey")
+
+
+_SETOPS_SQL = """
+SELECT 'both' AS tag, c_custkey FROM
+  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+   INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+UNION ALL
+SELECT 'only_rich' AS tag, c_custkey FROM
+  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+   EXCEPT ALL SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+"""
+
+
+def anti_customers_no_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_suppliers_active(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000)
+    li = load(spark, sf_dir, "lineitem")
+    return (s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_acctbal > 5000
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def top_parts_by_price(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (p.orderBy(F.col("p_retailprice").desc(), "p_partkey")
+            .limit(15)
+            .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("retailprice")))
+
+
+_TOPPARTS_SQL = """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def orders_by_year_quarter(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                      F.quarter("o_orderdate").cast("int").alias("qtr"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+_YEARQTR_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+       CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def pivot_event_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .pivot("event_type", kinds).count()
+            .na.fill(0, kinds))
+
+
+_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: time ops, as-of join, sessionization, extraction
+# ---------------------------------------------------------------------------
+
+def events_daily_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_asof_last_signup(spark, sf_dir):
+    """As-of join expressed as an ignore-nulls last() window: for every
+    purchase, the user's most recent signup at-or-before it."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isin("signup", "purchase"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (ev.withColumn("last_signup_ts", F.last(sig_ts, ignorenulls=True).over(w))
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "last_signup_ts"))
+
+
+_ASOF_SQL = """
+SELECT event_id, user_id, ts, last_signup_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM events WHERE event_type IN ('signup', 'purchase'))
+WHERE event_type = 'purchase'
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ can't cast to long directly
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (ev.withColumn("session_id", F.sum(new_sess).over(wsum).cast("bigint")))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"), F.max("ts").alias("session_end")))
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def events_props_extract(spark, sf_dir):
+    """Regex extraction from the JSON-ish props column + agg."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", "[0-9]+", 0).cast("int")
+    return (ev.withColumn("k", k).groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
+_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def explode_doc_words(spark, sf_dir):
+    """Explode/unnest + top-20 word counts."""
+    d = load(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("word"))
+            .where(F.length("word") > 0)
+            .groupBy("word").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "word").limit(20))
+
+
+_EXPLODE_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / curation (documents table)
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TS.ws_token_count(F.col("text")).alias("ws_tokens"),
+                    TS.regex_token_count(F.col("text")).alias("regex_tokens"))
+
+
+_TOKCOUNT_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INT)
+         AS regex_tokens
+FROM documents
+"""
+
+
+def doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.round(TS.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+                    F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+                    TS.quality_score(F.col("text")).alias("quality"))
+
+
+_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END, 6)
+         AS alpha_ratio,
+       round(CASE WHEN nonspace = 0 THEN 0.0 ELSE punct / CAST(nonspace AS DOUBLE) END, 6)
+         AS punct_ratio,
+       round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+             + 0.3 * least(n_tok / 20.0, 1.0)
+             + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                   ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
+         AS quality
+FROM base
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TS.lang_id(F.col("text")).alias("pred_lang"),
+                    (TS.lang_id(F.col("text")) == F.col("lang")).cast("int").alias("is_correct"))
+
+
+def _langid_sql() -> str:
+    hit_exprs = {}
+    for lang, words in TS.LANG_MARKERS.items():
+        terms = []
+        for w in words:
+            pat = w if lang == "zh" else f" {w} "
+            terms.append(
+                f"(length(padded) - length(replace(padded, '{pat}', ''))) / {len(pat)}")
+        hit_exprs[lang] = "CAST(" + " + ".join(terms) + " AS INT)"
+    hits_select = ",\n         ".join(f"{e} AS hits_{lang}" for lang, e in hit_exprs.items())
+    # argmax with 'first max wins' over sorted lang codes, matching lang_id()
+    langs = sorted(TS.LANG_MARKERS)
+    pred = "CASE"
+    cond = []
+    for lang in langs:
+        others_before = [f"hits_{o} < hits_{lang}" for o in langs if o < lang]
+        others_after = [f"hits_{o} <= hits_{lang}" for o in langs if o > lang]
+        allc = [f"hits_{lang} > 0"] + others_before + others_after
+        pred += f" WHEN {' AND '.join(allc)} THEN '{lang}'"
+    pred += " ELSE 'und' END"
+    return f"""
+WITH padded_docs AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+hits AS (SELECT doc_id, lang,
+         {hits_select}
+         FROM padded_docs)
+SELECT doc_id, {pred} AS pred_lang,
+       CAST(({pred}) = lang AS INT) AS is_correct
+FROM hits
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return (DD.exact_dedup_groups(load(spark, sf_dir, "documents"))
+            .orderBy("content_hash"))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+       count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+
+# shared shingle CTE (3-gram token shingles over normalized text)
+_SHINGLE_CTE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+), toks AS (
+  SELECT doc_id, regexp_extract_all(t, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]') AS tk FROM norm
+), sh3 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3)
+), shf AS (
+  SELECT doc_id, array_to_string(tk, ' ') AS shingle
+  FROM toks WHERE len(tk) > 0 AND len(tk) < 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shf)
+)
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return (DD.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+_MINHASH_SQL = _SHINGLE_CTE + r""",
+mh AS (
+  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
+  FROM mh GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard(spark, sf_dir):
+    return (DD.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.0)
+            .orderBy("doc_a", "doc_b"))
+
+
+_JACCARD_SQL = _SHINGLE_CTE + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based — no SQL twin; rows-only check)."""
+    return (DD.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
+            .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def _queries_df(spark, sf_dir, n: int = 5):
+    e = load(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") < n).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return (SIM.brute_force_topk(e, _queries_df(spark, sf_dir), k=10)
+            .orderBy("query_id", "rank"))
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS ev
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ee
+  FROM (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(ev) AS y FROM pairs)
+  GROUP BY query_id, neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(ee)) AS cos FROM sums
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cosine_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; rows-only check — approximate by design)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (SIM.lsh_ann_topk(e, _queries_df(spark, sf_dir), k=10)
+            .orderBy("query_id", "rank"))
+
+
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    return (SIM.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.5)
+            .orderBy("vec_a", "vec_b"))
+
+
+# ---------------------------------------------------------------------------
+# OCR pipeline itself (generated corpus — non-SQL-expressible; rows-only)
+# ---------------------------------------------------------------------------
+
+def _corpus_df(spark):
+    from .corpus import corpus_to_spark_df, gen_corpus
+
+    return corpus_to_spark_df(spark, gen_corpus(100, seed=42))
+
+
+def ocr_page_scores(spark, sf_dir):
+    from .plans.pipeline import evaluate_documents
+
+    return evaluate_documents(_corpus_df(spark)).page_scores.orderBy("doc_id")
+
+
+def ocr_spans_out(spark, sf_dir):
+    from .plans.pipeline import evaluate_documents
+
+    return evaluate_documents(_corpus_df(spark)).spans_out.orderBy("doc_id", "ord")
+
+
+def ocr_quarantine(spark, sf_dir):
+    from .plans.pipeline import evaluate_documents
+
+    return evaluate_documents(_corpus_df(spark)).quarantine.orderBy("doc_id", "span_ord")
+
+
+def media_features(spark, sf_dir):
+    from .operators.media import extract_media_features, media_spans
+
+    return (extract_media_features(media_spans(_corpus_df(spark)))
+            .orderBy("doc_id", "media_ref"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (AvailableNow batch-equivalent with SQL oracle)
+# ---------------------------------------------------------------------------
+
+def streaming_events_daily(spark, sf_dir):
+    from .streaming.jobs import run_events_daily_availablenow
+
+    return run_events_daily_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+_STREAMING_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Query] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "broadcast_part_revenue": broadcast_part_revenue,
+    "window_top_orders_per_cust": window_top_orders_per_cust,
+    "window_order_gaps": window_order_gaps,
+    "rollup_orders": rollup_orders,
+    "cube_events_dow": cube_events_dow,
+    "set_ops_customers": set_ops_customers,
+    "anti_customers_no_orders": anti_customers_no_orders,
+    "semi_suppliers_active": semi_suppliers_active,
+    "top_parts_by_price": top_parts_by_price,
+    "orders_by_year_quarter": orders_by_year_quarter,
+    "pivot_event_counts": pivot_event_counts,
+    "events_daily_stats": events_daily_stats,
+    "events_asof_last_signup": events_asof_last_signup,
+    "events_sessionize": events_sessionize,
+    "events_props_extract": events_props_extract,
+    "explode_doc_words": explode_doc_words,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "ngram_jaccard": ngram_jaccard,
+    "simhash_near_pairs": simhash_near_pairs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "lsh_ann_topk": lsh_ann_topk,
+    "embedding_near_dups": embedding_near_dups,
+    "ocr_page_scores": ocr_page_scores,
+    "ocr_spans_out": ocr_spans_out,
+    "ocr_quarantine": ocr_quarantine,
+    "media_features": media_features,
+    "streaming_events_daily": streaming_events_daily,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "broadcast_part_revenue": _BROADCAST_SQL,
+        "window_top_orders_per_cust": _WINDOW_TOPK_SQL,
+        "window_order_gaps": _WINDOW_GAPS_SQL,
+        "rollup_orders": _ROLLUP_SQL,
+        "cube_events_dow": _CUBE_SQL,
+        "set_ops_customers": _SETOPS_SQL,
+        "anti_customers_no_orders": _ANTI_SQL,
+        "semi_suppliers_active": _SEMI_SQL,
+        "top_parts_by_price": _TOPPARTS_SQL,
+        "orders_by_year_quarter": _YEARQTR_SQL,
+        "pivot_event_counts": _PIVOT_SQL,
+        "events_daily_stats": _DAILY_SQL,
+        "events_asof_last_signup": _ASOF_SQL,
+        "events_sessionize": _SESSION_SQL,
+        "events_props_extract": _PROPS_SQL,
+        "explode_doc_words": _EXPLODE_SQL,
+        "doc_token_counts": _TOKCOUNT_SQL,
+        "doc_quality": _QUALITY_SQL,
+        "doc_lang_id": _langid_sql(),
+        "doc_fingerprints": _FP_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_pairs": _MINHASH_SQL,
+        "ngram_jaccard": _JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "streaming_events_daily": _STREAMING_SQL,
+        # rows-only (non-SQL-expressible): simhash_near_pairs (xxhash64),
+        # lsh_ann_topk / embedding_near_dups (approximate by design),
+        # ocr_* + media_features (generated span corpus, custom semantics)
+    }

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "page-evaluator-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 256) -> SparkSession:
+              arrow_batch_rows: int = 1024) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", None)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:

@@ -1,0 +1,99 @@
+"""Structured Streaming jobs.
+
+The reference is strictly batch (one page per JVM invocation, Main.java:26-50),
+so there are no event-time semantics to preserve (SURVEY.md §2.6 'Streaming').
+These jobs exist for the engine's own streaming surface: incremental ingest of
+the documents/events tables with Trigger.AvailableNow (run-to-completion over
+whatever has arrived — the batch-incremental pattern that backs resume), plus
+watermarked windowed aggregation for genuinely continuous sources.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_events_daily_availablenow(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming daily event aggregation, run to completion (AvailableNow).
+
+    Returns the final aggregate as a batch DataFrame (memory sink).  Matches
+    the batch SQL `GROUP BY date_trunc('day', ts), event_type` exactly.
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source needs a directory; glob-filter to the one table
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", os.path.basename(events_path))
+              .load(os.path.dirname(events_path)))
+    agg = (stream.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+           .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"events_daily_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_scores_stream(spark: SparkSession, docs_path: str,
+                      checkpoint_dir: str) -> DataFrame:
+    """Streaming page scoring: the SAME Arrow mapInPandas parse kernel and
+    native classify/agg layers, applied to a streaming documents source and
+    run to completion with Trigger.AvailableNow.
+
+    This is the engine's incremental-ingest surface: point it at a landing
+    directory, keep the checkpoint, and every invocation scores only newly
+    arrived files (Spark's file-source tracking = the resume semantics the
+    north_rule asks for, at the ingest tier).
+    """
+    from ..functions.classify import counter_aggs, with_scores
+    from ..operators.parse import parse_spans
+    from ..operators.score import classify_words
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    spans = stream.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.offset").alias("span_offset"), F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"), F.col("span.media_ref").alias("media_ref"))
+    agg = classify_words(parse_spans(spans)).groupBy("doc_id").agg(*counter_aggs())
+    name = f"stream_scores_{uuid.uuid4().hex[:8]}"
+    q = (with_scores(agg).writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_watermarked_event_windows(spark: SparkSession, events_path: str,
+                                  window: str = "1 day",
+                                  watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late-data handling surface).
+
+    Append mode: only windows finalized by the watermark are emitted — the
+    trailing open window is withheld, which the test asserts explicitly.
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("win"), "event_type")
+           .agg(F.count("*").alias("n")))
+    name = f"event_windows_{uuid.uuid4().hex[:8]}"
+    q = (agg.select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "event_type", "n")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,79 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on Spark
+and its oracle_sql() twin on DuckDB (sf0.01), compare row count + column names
++ order-insensitive values.  Rows-only entries just have to run and return a
+stable schema.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from page_evaluator_spark.queries import QUERIES, oracle_sql
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf01_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf01_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # int widths differ; compare numerically
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), \
+        f"{name}: row count {len(spark_pdf)} != {len(oracle_pdf)}"
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), \
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            import numpy as np
+
+            both_nan = a[c].isna() & b[c].isna()
+            close = np.isclose(a[c], b[c], rtol=1e-9, atol=1e-9)
+            ok = both_nan | close
+            assert ok.all(), f"{name}.{c}: value mismatch\n{a[c][~ok].head()}\n{b[c][~ok].head()}"
+        else:
+            mism = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+            assert not mism.any(), f"{name}.{c}: {a[c][mism].head()} vs {b[c][mism].head()}"
+
+
+ORACLE = oracle_sql()
+ORACLE_CHECKED = sorted(ORACLE)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_vs_oracle(spark, ddb, sf01_dir, name):
+    got = QUERIES[name](spark, sf01_dir).toPandas()
+    exp = ddb.execute(ORACLE[name]).df()
+    _compare(got, exp, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf01_dir, name):
+    df = QUERIES[name](spark, sf01_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0

@@ -82,24 +82,42 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("int")
 
 
+def lsh_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Multi-table LSH keys: one "t:bucket" string per hash table.
+
+    Standard (L tables × k planes) construction: a pair collides if it shares
+    ANY table's bucket — recall grows with L, candidate count stays ≪ n²."""
+    return F.array(*[
+        F.concat_ws(":", F.lit(str(t)), lsh_bucket(vec, planes).cast("string"))
+        for t, planes in enumerate(tables)
+    ])
+
+
+def _lsh_tables(dim: int, n_tables: int, n_planes: int, seed: int) -> list[list[list[float]]]:
+    return [_projection_vectors(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                 n_planes: int = 6, dim: int = 64, seed: int = 42,
+                 n_tables: int = 8, n_planes: int = 4, dim: int = 64, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id") -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows sharing an LSH bucket with the query
+    in ≥1 of the L hash tables.
 
-    With 2^n_planes buckets the scan shrinks ~2^n_planes-fold; recall is
-    tunable via n_planes (fewer planes = bigger buckets = higher recall).
+    Scan shrinkage ≈ 2^n_planes / n_tables; recall tunable via (L, k) — more
+    tables = higher recall, more planes = fewer candidates per table.
     """
-    planes = _projection_vectors(dim, n_planes, seed)
+    tables = _lsh_tables(dim, n_tables, n_planes, seed)
     e = (embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
-         .withColumn("bucket", lsh_bucket(F.col("e_vec"), planes)))
+         .withColumn("bucket", F.explode(lsh_bucket_keys(F.col("e_vec"), tables))))
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("bucket", lsh_bucket(F.col("q_vec"), planes)))
-    scored = (e.join(q, "bucket")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec"))))
+        .withColumn("bucket", F.explode(lsh_bucket_keys(F.col("q_vec"), tables))))
+    cand = (e.join(q, "bucket")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "q_vec", "e_vec")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -108,16 +126,19 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 6, dim: int = 64, seed: int = 42,
-                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets + threshold filter."""
-    planes = _projection_vectors(dim, n_planes, seed)
+                             n_tables: int = 8, n_planes: int = 4, dim: int = 64,
+                             seed: int = 42, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH + threshold."""
+    tables = _lsh_tables(dim, n_tables, n_planes, seed)
     e = (embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-         .withColumn("bucket", lsh_bucket(F.col("vec"), planes)))
+         .withColumn("bucket", F.explode(lsh_bucket_keys(F.col("vec"), tables))))
     a, b = e.alias("a"), e.alias("b")
     return (a.join(b, "bucket")
             .where(F.col("a.vid") < F.col("b.vid"))
-            .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
-            .where(F.col("cosine_sim") >= threshold)
             .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-                    F.round("cosine_sim", 6).alias("cosine_sim")))
+                    F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("vec_a", "vec_b", F.round("cosine_sim", 6).alias("cosine_sim")))

@@ -509,6 +509,42 @@ SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FRO
 """
 
 
+def lexicon_match_rate(spark, sf_dir):
+    """Broadcast dictionary-lookup word matching (the north_star lexicon join)
+    over the documents table's token stream."""
+    from .operators.lexicon import match_tokens, synthetic_lexicon
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(
+        F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0)).alias("text"))
+    lex = synthetic_lexicon(spark, n_extra=0)
+    return (match_tokens(words, lex)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("lexicon_match").cast("int")).cast("bigint").alias("n_matched"))
+            .withColumn("match_rate", F.round(F.col("n_matched") / F.col("n_tokens"), 6)))
+
+
+def _lexicon_sql() -> str:
+    from .operators.lexicon import lexicon_words
+
+    values = ", ".join(f"('{w}')" for w in lexicon_words(n_extra=0))
+    return rf"""
+WITH lex(word) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+         '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       round(sum(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS match_rate
+FROM toks LEFT JOIN lex ON lower(tok) = word
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -719,6 +755,7 @@ QUERIES: dict[str, Query] = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "lexicon_match_rate": lexicon_match_rate,
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "ngram_jaccard": ngram_jaccard,
@@ -759,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _langid_sql(),
         "doc_fingerprints": _FP_SQL,
+        "lexicon_match_rate": _lexicon_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": _MINHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,

@@ -82,8 +82,14 @@ def run_watermarked_event_windows(spark: SparkSession, events_path: str,
     Append mode: only windows finalized by the watermark are emitted — the
     trailing open window is withheld, which the test asserts explicitly.
     """
+    import os
+
     schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", os.path.basename(events_path))
+              .load(os.path.dirname(events_path)))
+    # watermarks require an instant (LTZ) event-time column, not NTZ
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     agg = (stream.withWatermark("ts", watermark)
            .groupBy(F.window("ts", window).alias("win"), "event_type")
            .agg(F.count("*").alias("n")))

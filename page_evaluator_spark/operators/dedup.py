@@ -33,6 +33,9 @@ def normalized_text(col: Column) -> Column:
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: md5(normalized text) → (hash, n_docs, canonical id)."""
+    from .skew import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     return (docs
             .withColumn("content_hash", F.md5(normalized_text(F.col(text_col))))
             .groupBy("content_hash")
@@ -92,8 +95,11 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text", id_col: str 
     codegen'd projection instead of a 16-way nested array expression.
     Output: doc_id, mh_0..mh_{num_hashes-1}.
     """
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(token_shingles(F.col(text_col), shingle_n)).alias("shingle")))
+    from .skew import ensure_min_parallelism
+
+    sh = (ensure_min_parallelism(docs)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(token_shingles(F.col(text_col), shingle_n)).alias("shingle")))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -126,8 +132,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     shingles, never n².  At 100 TB you'd gate this behind the LSH candidates;
     here it doubles as the LSH oracle.
     """
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      token_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    from .skew import ensure_min_parallelism
+
+    sh = (ensure_min_parallelism(docs)
+          .select(F.col(id_col).alias("doc_id"),
+                  token_shingles(F.col(text_col), shingle_n).alias("shingles"))
           .where(F.size("shingles") > 0))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -180,6 +189,9 @@ def simhash64(col: Column, token_re: str = PORTABLE_TOKEN_RE) -> Column:
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Per-doc 64-bit SimHash signatures (near-dup = small Hamming distance)."""
+    from .skew import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     return docs.select(F.col(id_col).alias("doc_id"),
                        simhash64(F.col(text_col)).alias("simhash"))
 

@@ -46,10 +46,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     queries: (query_id, embedding).  Returns (query_id, rank, neighbor_id,
     cosine_sim) excluding self-matches.
     """
+    from .skew import ensure_min_parallelism
+
     q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
                                    F.col(vec_col).alias("q_vec")))
-    scored = (embeddings.select(F.col(id_col).alias("neighbor_id"),
-                                F.col(vec_col).alias("e_vec"))
+    scored = (ensure_min_parallelism(embeddings)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("e_vec"))
               .crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec"))))
@@ -108,7 +111,10 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     tables = higher recall, more planes = fewer candidates per table.
     """
     tables = _lsh_tables(dim, n_tables, n_planes, seed)
-    e = (embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
+    from .skew import ensure_min_parallelism
+
+    e = (ensure_min_parallelism(embeddings)
+         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
          .withColumn("bucket", F.explode(lsh_bucket_keys(F.col("e_vec"), tables))))
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -131,7 +137,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH + threshold."""
     tables = _lsh_tables(dim, n_tables, n_planes, seed)
-    e = (embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    from .skew import ensure_min_parallelism
+
+    e = (ensure_min_parallelism(embeddings)
+         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
          .withColumn("bucket", F.explode(lsh_bucket_keys(F.col("vec"), tables))))
     a, b = e.alias("a"), e.alias("b")
     return (a.join(b, "bucket")

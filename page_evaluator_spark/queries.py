@@ -22,7 +22,14 @@ Query = Callable[[SparkSession, str], DataFrame]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table in ("documents", "embeddings"):
+        # expression-heavy per-row tables: don't let a single small-file scan
+        # split serialize regex/vector work (no-op when the scan has splits)
+        from .operators.skew import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

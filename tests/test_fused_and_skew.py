@@ -1,0 +1,73 @@
+"""Fused zero-shuffle scorer equivalence + plan-shape guarantees + skew helpers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from page_evaluator_spark.corpus import corpus_to_spark_df, fixtures_docs, gen_corpus
+from page_evaluator_spark.operators.fused import score_pages_fused
+from page_evaluator_spark.operators.score import score_pages
+from page_evaluator_spark.operators.parse import parse_documents
+
+
+def _rows(df):
+    return {r["doc_id"]: tuple(r[c] for c in df.columns if c != "doc_id")
+            for r in df.collect()}
+
+
+def test_fused_equals_standard(spark):
+    docs = corpus_to_spark_df(spark, gen_corpus(60, seed=21, include_fixtures=True))
+    std = score_pages(parse_documents(docs))
+    fused = score_pages_fused(docs).select(*std.columns)
+    assert _rows(std) == _rows(fused)
+
+
+def test_fused_plan_is_map_only(spark):
+    docs = corpus_to_spark_df(spark, fixtures_docs())
+    plan = score_pages_fused(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "fused scorer must not shuffle"
+
+
+def test_standard_scores_single_shuffle(spark, tmp_path):
+    from page_evaluator_spark.corpus import write_corpus_parquet
+
+    p = str(tmp_path / "c.parquet")
+    write_corpus_parquet(p, fixtures_docs())
+    scores = score_pages(parse_documents(spark.read.parquet(p)))
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, f"expected exactly one shuffle:\n{plan}"
+
+
+def test_size_hint_and_salting(spark):
+    from page_evaluator_spark.operators.skew import (
+        adaptive_partition_count,
+        rebalance_spans,
+        salt_expr,
+        skewed_doc_ids,
+        with_size_hint,
+    )
+    from page_evaluator_spark.operators.parse import explode_docs
+
+    docs = corpus_to_spark_df(
+        spark, gen_corpus(10, seed=2, include_fixtures=False, skew_docs=1, skew_spans=400))
+    hints = {r["doc_id"]: r["size_hint"] for r in with_size_hint(docs).collect()}
+    assert hints["skew000"] > 10 * max(v for k, v in hints.items() if k != "skew000") / 10
+    assert hints["skew000"] == max(hints.values())
+
+    # salt is deterministic and in range
+    s1 = {r["doc_id"]: r["s"] for r in
+          explode_docs(docs).select("doc_id", salt_expr(16, "doc_id", "span_offset")
+                                    .alias("s")).collect()}
+    assert all(0 <= v < 16 for v in s1.values())
+
+    n = adaptive_partition_count(docs, target_bytes=4096, min_parts=2, max_parts=64)
+    assert 2 <= n <= 64
+
+    # salted rebalance spreads the skew doc across many partitions
+    spans = rebalance_spans(explode_docs(docs), n_parts=16)
+    parts = (spans.where(F.col("doc_id") == "skew000")
+             .select(F.spark_partition_id().alias("p")).distinct().count())
+    assert parts >= 8, f"skew doc landed on only {parts} partitions"
+
+    report = skewed_doc_ids(docs, threshold_bytes=10_000).collect()
+    assert any(r["doc_id"] == "skew000" for r in report)

@@ -65,3 +65,14 @@ def dehyphenate_txt(text: Column) -> Column:
 def tokenize_txt(text: Column) -> Column:
     """Fully-native SimpleTokenizer: array of tokens (TxtPage.java:54)."""
     return F.regexp_extract_all(text, F.lit(SIMPLE_TOKENIZER_RE), 0)
+
+
+def hocr_title_to_map(title: Column) -> Column:
+    """hOCR ``title`` attribute → MAP<STRING,STRING> (HOCRToken.java:20-29).
+
+    Java splits on ';', trims, then splits each segment at its FIRST space —
+    exactly Spark's str_to_map(title, ';\\s*', ' ') (pair split is
+    first-occurrence).  Properties are carried metadata, never used by the
+    scoring cascade (SURVEY.md §2 P6).
+    """
+    return F.str_to_map(F.trim(title), F.lit(";\\s*"), F.lit(" "))

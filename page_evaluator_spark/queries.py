@@ -398,6 +398,26 @@ GROUP BY event_type
 """
 
 
+def events_props_json(spark, sf_dir):
+    """Native JSON parsing (from_json) of the props column; the oracle parses
+    the same values with a regexp — values must agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.min("k").alias("min_k")))
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k
+FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def explode_doc_words(spark, sf_dir):
     """Explode/unnest + top-20 word counts."""
     d = load(spark, sf_dir, "documents")
@@ -757,6 +777,7 @@ QUERIES: dict[str, Query] = {
     "events_asof_last_signup": events_asof_last_signup,
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
+    "events_props_json": events_props_json,
     "explode_doc_words": explode_doc_words,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
@@ -798,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_last_signup": _ASOF_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_props_extract": _PROPS_SQL,
+        "events_props_json": _PROPS_JSON_SQL,
         "explode_doc_words": _EXPLODE_SQL,
         "doc_token_counts": _TOKCOUNT_SQL,
         "doc_quality": _QUALITY_SQL,

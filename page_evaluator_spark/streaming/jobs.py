@@ -74,6 +74,54 @@ def run_scores_stream(spark: SparkSession, docs_path: str,
     return spark.table(name)
 
 
+def run_stateful_first_seen(spark: SparkSession, docs_path: str,
+                            checkpoint_dir: str, out_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    streaming exact-dedup that emits each content hash's FIRST-seen doc only
+    (the streaming counterpart of exact_dedup_groups — state = seen flag per
+    content hash, grouped by hash so state is partition-local).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    hashed = stream.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+         .alias("content_hash"))
+
+    def dedup_fn(key: tuple, pdfs, state: GroupState):
+        seen = state.exists
+        first: str | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = str(pdf["doc_id"].iloc[0])
+        if not seen and first is not None:
+            state.update((1,))
+            yield pd.DataFrame({"content_hash": [key[0]], "first_doc_id": [first]})
+        else:
+            yield pd.DataFrame({"content_hash": [], "first_doc_id": []})
+
+    out = hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="content_hash string, first_doc_id string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # parquet sink (not memory): fault-tolerant, so the query RESUMES from the
+    # checkpoint — state survives restarts and only new files are processed
+    q = (out.writeStream.format("parquet")
+         .outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_watermarked_event_windows(spark: SparkSession, events_path: str,
                                   window: str = "1 day",
                                   watermark: str = "2 days") -> DataFrame:

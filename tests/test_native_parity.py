@@ -156,3 +156,24 @@ def test_category_partition_properties(spark):
         assert parts == r["token_count"], r["doc_id"]
         for s in ("correctable_score", "quality_score"):
             assert r[s] == -1.0 or 0.0 <= r[s] <= 1.0
+
+
+def test_hocr_title_to_map(spark):
+    """str_to_map first-space split == HOCRToken.java:20-29 Properties parse."""
+    from page_evaluator_spark.functions.textnorm import hocr_title_to_map
+
+    cases = ["bbox 393 604 442 620; x_wconf 85", "a 1;b 2 3;  c x y z  "]
+    df = spark.createDataFrame([(t,) for t in cases], "title string")
+    got = {r["title"]: r["m"]
+           for r in df.withColumn("m", hocr_title_to_map(F.col("title"))).collect()}
+
+    def java_props(title):
+        props = {}
+        for seg in title.split(";"):
+            seg = seg.strip()
+            i = seg.find(" ")
+            props[seg[:i]] = seg[i + 1:]
+        return props
+
+    for t in cases:
+        assert got[t] == java_props(t), t

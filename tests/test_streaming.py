@@ -74,3 +74,39 @@ def test_watermark_append_withholds_open_window(spark, sf_dir):
 
     for d in emitted_days:
         assert (max_ts - d) > datetime.timedelta(days=2)
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: streaming exact-dedup emits each content hash
+    once, across restarts (state persisted in the checkpoint)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from page_evaluator_spark.streaming.jobs import run_stateful_first_seen
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pq.write_table(pa.table(pd.DataFrame(rows, columns=["doc_id", "text"])),
+                       str(land / name))
+
+    out_dir = str(tmp_path / "dedup_out")
+    write("b1.parquet", [("d1", "alpha beta"), ("d2", "gamma delta"),
+                         ("d3", "alpha  beta ")])  # d3 = dup of d1 post-normalize
+    out1 = run_stateful_first_seen(spark, str(land), ckpt, out_dir)
+    rows1 = {r["content_hash"]: r["first_doc_id"] for r in out1.collect()}
+    assert len(rows1) == 2  # two distinct hashes, dup suppressed
+
+    write("b2.parquet", [("d4", "alpha beta"),      # dup of batch-1 hash
+                         ("d5", "epsilon zeta")])   # new
+    out2 = run_stateful_first_seen(spark, str(land), ckpt, out_dir)
+    rows2 = {r["content_hash"]: r["first_doc_id"] for r in out2.collect()}
+    # resumed query: batch-1 dup suppressed by persisted state; only the new
+    # hash is appended to the sink
+    assert len(rows2) == 3
+    new_hashes = set(rows2) - set(rows1)
+    assert len(new_hashes) == 1
+    assert rows2[new_hashes.pop()] == "d5"

@@ -114,3 +114,30 @@ def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def score_pages_fused(docs: DataFrame) -> DataFrame:
     """documents (doc_id, spans) → page_scores, map-only (zero shuffle)."""
     return docs.select("doc_id", "spans").mapInPandas(_kernel, schema=FUSED_SCHEMA)
+
+
+def score_words_grouped(words: DataFrame) -> DataFrame:
+    """applyInPandas per-page scorer (the UDAF shape, SURVEY.md §2.6): final
+    token rows (doc_id, text) grouped by doc_id → one score row per doc.
+
+    The group-by shuffle moves token rows (vs the standard plan's 11-int
+    partials), so this exists for API-surface completeness and for callers
+    that already hold a token relation partitioned by doc_id.
+    """
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = [0] * len(_CATS)
+        for t in pdf["text"]:
+            counts[_classify(t)] += 1
+        n = len(pdf)
+        num = counts[6] + counts[7] + counts[8]
+        corr_den = n - (counts[1] + counts[0] + counts[2]) - counts[5]
+        corr = -1.0 if corr_den == 0 else num / corr_den
+        qual = -1.0 if n == 0 else num / n
+        return pd.DataFrame([[pdf["doc_id"].iloc[0], n, *counts, corr, qual]],
+                            columns=["doc_id", "token_count", *_CATS,
+                                     "correctable_score", "quality_score"])
+
+    return (words.select("doc_id", "text")
+            .groupBy("doc_id").applyInPandas(scorer, schema=FUSED_SCHEMA))

@@ -71,3 +71,17 @@ def test_size_hint_and_salting(spark):
 
     report = skewed_doc_ids(docs, threshold_bytes=10_000).collect()
     assert any(r["doc_id"] == "skew000" for r in report)
+
+
+def test_apply_in_pandas_scorer_equals_standard(spark):
+    """The applyInPandas UDAF-shape scorer agrees with the native plan on
+    docs that have ≥1 token (it only sees word rows by construction)."""
+    import pyspark.sql.functions as F
+    from page_evaluator_spark.operators.fused import score_words_grouped
+
+    docs = corpus_to_spark_df(spark, gen_corpus(30, seed=13, include_fixtures=True))
+    parsed = parse_documents(docs)
+    words = parsed.where(F.col("kind") == "word")
+    std = score_pages(parsed).where(F.col("token_count") > 0)
+    grouped = score_words_grouped(words).select(*std.columns)
+    assert _rows(std) == _rows(grouped)

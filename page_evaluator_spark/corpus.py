@@ -164,6 +164,22 @@ def fixtures_docs() -> list[dict]:
     # f018: text span with empty string.
     docs.append({"doc_id": "f018_empty_text", "spans": [_txt_span("", 0)]})
 
+    # f019: nested markup inside ocrx_word — getTextContent concatenates all
+    # descendant text (HOCRToken.java:40-42); also a word split across an
+    # inner element boundary ("wo<em>r</em>d." → "word.").
+    nested = (
+        '<html><head><meta name="ocr-system" content="tess"/></head><body>'
+        '<div class="ocr_page" id="p1" title="bbox 0 0 1 1">'
+        '<span class="ocr_line" title="bbox 0 0 1 1">'
+        '<span class="ocrx_word" id="w1" title="bbox 1 2 3 4">wo<em>r</em>d.</span>'
+        '<span class="ocrx_word" id="w2" title="bbox 1 2 3 4"><b>hy-</b></span>'
+        "</span>"
+        '<span class="ocr_line" title="bbox 0 0 1 1">'
+        '<span class="ocrx_word" id="w3" title="bbox 1 2 3 4">phen</span>'
+        "</span></div></body></html>"
+    )
+    docs.append({"doc_id": "f019_nested_markup", "spans": [_hocr_span(nested, 0)]})
+
     return docs
 
 

@@ -69,10 +69,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     Portable (md5 is identical in DuckDB) and deterministic; array_min is a
     per-row fold — no shuffle, no UDF.
     """
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ])
+    def _minhash(i: int):
+        # factory closure: PySpark introspects lambda arity, so a default-arg
+        # lambda would be fed (element, index) instead of capturing i
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    return F.array(*[_minhash(i) for i in range(num_hashes)])
 
 
 def minhash_band_keys(signature: Column, bands: int = 4, rows_per_band: int = 4) -> Column:

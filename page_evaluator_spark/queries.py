@@ -730,6 +730,17 @@ def ocr_quarantine(spark, sf_dir):
     return evaluate_documents(_corpus_df(spark)).quarantine.orderBy("doc_id", "span_ord")
 
 
+def ocr_worst_pages(spark, sf_dir):
+    """Worst-20 pages by quality score (SURVEY §2.6 sorts/top-k over the
+    pipeline's own output; -1 sentinels excluded)."""
+    from .plans.pipeline import evaluate_documents
+
+    scores = evaluate_documents(_corpus_df(spark)).page_scores
+    return (scores.where(F.col("quality_score") >= 0)
+            .orderBy("quality_score", "doc_id").limit(20)
+            .select("doc_id", "token_count", "quality_score", "correctable_score"))
+
+
 def media_features(spark, sf_dir):
     from .operators.media import extract_media_features, media_spans
 
@@ -794,6 +805,7 @@ QUERIES: dict[str, Query] = {
     "ocr_page_scores": ocr_page_scores,
     "ocr_spans_out": ocr_spans_out,
     "ocr_quarantine": ocr_quarantine,
+    "ocr_worst_pages": ocr_worst_pages,
     "media_features": media_features,
     "streaming_events_daily": streaming_events_daily,
 }

@@ -142,3 +142,24 @@ def test_cli_job_end_to_end(spark, tmp_path):
     done = runner.run(docs, run_id=args.run_id)
     assert sorted(done) == [0, 1, 2]
     assert runner.page_scores().count() == docs.count()
+
+
+def test_minhash_array_vs_agg_signatures(spark):
+    """Two MinHash implementations (per-row array fold vs explode+agg) must
+    produce identical signatures."""
+    from page_evaluator_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_agg,
+        token_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "short one"), ("c", "spark engines process parquet at scale")],
+        "doc_id string, text string")
+    arr = {r["doc_id"]: list(r["sig"]) for r in docs.select(
+        "doc_id", minhash_signature(token_shingles(F.col("text")), 16).alias("sig"))
+        .collect()}
+    agg = {r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
+           for r in minhash_signatures_agg(docs).collect()}
+    assert arr == agg

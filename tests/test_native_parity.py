@@ -177,3 +177,33 @@ def test_hocr_title_to_map(spark):
 
     for t in cases:
         assert got[t] == java_props(t), t
+
+
+def test_hocr_page_fuzz_parity(spark):
+    """Seeded fuzz: random hOCR pages (hyphen-ended words, whitespace-padded
+    tokens, unicode, empty lines, words that trim to nothing) — pipeline ==
+    oracle on counters AND span sequence."""
+    from page_evaluator_spark.corpus import corpus_to_spark_df, make_hocr
+    from page_evaluator_spark.plans.pipeline import evaluate_documents
+
+    rng = random.Random(4242)
+    vocab = ["Quality", "eſti-", "mation", " pad ", "-", "--", "a", "1,2",
+             "$9", "!!", "….", "mmmm", "x-", "-y", "\tz\t", "", "  ",
+             "don’t", "qu3en", "h0u5e9", "ab-", "cd-"]
+    docs = []
+    for i in range(60):
+        lines = [[rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+                 for _ in range(rng.randint(0, 5))]
+        docs.append({"doc_id": f"fz{i:03d}", "spans": [{
+            "kind": "hocr", "text": make_hocr(lines), "media_ref": None, "offset": 0}]})
+    out = evaluate_documents(corpus_to_spark_df(spark, docs))
+    scores = {r["doc_id"]: r.asDict() for r in out.page_scores.collect()}
+    spans: dict[str, list] = {}
+    for r in out.spans_out.collect():
+        spans.setdefault(r["doc_id"], []).append((r["ord"], r["kind"], r["text"], r["media_ref"]))
+    for d in docs:
+        exp = oracle.doc_expected(d["spans"])
+        got = scores[d["doc_id"]]
+        for n in oracle.COUNTER_NAMES:
+            assert got[n] == getattr(exp["counters"], n), (d["doc_id"], n)
+        assert sorted(spans.get(d["doc_id"], [])) == exp["spans_out"], d["doc_id"]

@@ -67,3 +67,14 @@ def test_page_meta(spark):
     m9 = meta[("f009_hocr_no_meta", 0)]
     assert m9["ocr_engine"] == ""
     assert m9["ocr_capabilities"] == [""]
+
+
+def test_nested_markup_fixture(spark):
+    """f019: descendant text concatenation + hyphen join across the line
+    boundary when the '-' lives inside nested markup."""
+    docs = [d for d in fixtures_docs() if d["doc_id"] == "f019_nested_markup"]
+    out = evaluate_documents(corpus_to_spark_df(spark, docs))
+    spans = [r["text"] for r in out.spans_out.orderBy("ord").collect()]
+    assert spans == ["word.", "hyphen"]
+    exp = oracle.doc_expected(docs[0]["spans"])
+    assert [s[2] for s in exp["spans_out"]] == spans

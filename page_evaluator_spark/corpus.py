@@ -180,6 +180,37 @@ def fixtures_docs() -> list[dict]:
     )
     docs.append({"doc_id": "f019_nested_markup", "spans": [_hocr_span(nested, 0)]})
 
+    # f020: HTML main-content extraction — nav/footer (link-dense), script,
+    # comments, and short blocks are boilerplate; two long paragraphs stay.
+    html_page = (
+        "<html><head><title>t</title><script>var x = 'dropme &amp; all';</script>"
+        "<style>p { color: red }</style></head><body>"
+        '<div class="nav"><a href="/">Home</a> <a href="/a">Archive</a> '
+        '<a href="/b">About</a></div>'
+        "<!-- boilerplate comment that is quite long but still a comment -->"
+        "<h1>Short title</h1>"
+        "<p>The quality of mercy is not strained, it droppeth as the gentle "
+        "rain from heaven upon the place beneath.</p>"
+        "<p>It is twice bless&#39;d: it blesseth him that gives and him that "
+        "takes — mightiest in the mightiest.</p>"
+        '<p>See <a href="/x">this link</a> in a long enough sentence that '
+        "survives because its link density stays low.</p>"
+        '<div class="footer"><a href="/tos">Terms</a> <a href="/p">Privacy</a></div>'
+        "</body></html>"
+    )
+    docs.append({"doc_id": "f020_html_boilerplate", "spans": [
+        {"kind": "html", "text": html_page, "media_ref": None, "offset": 0}]})
+
+    # f021: html interleaved with media + empty html span.
+    docs.append({"doc_id": "f021_html_interleaved", "spans": [
+        {"kind": "html", "text": "<p>A first paragraph long enough to keep "
+                                 "for the extraction test.</p>", "media_ref": None,
+         "offset": 0},
+        _img_span("f021_html_interleaved", 1),
+        {"kind": "html", "text": "<div><a href='/'>only links</a></div>",
+         "media_ref": None, "offset": 2},
+    ]})
+
     return docs
 
 

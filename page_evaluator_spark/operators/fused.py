@@ -82,8 +82,13 @@ def _doc_tokens(spans) -> list[str]:
         try:
             if kind == "hocr":
                 texts, last, *_ = _parse_hocr(sp["text"] or "")
-            elif kind == "text":
-                texts = _tokenize_txt(sp["text"] or "")
+            elif kind in ("text", "html"):
+                raw = sp["text"] or ""
+                if kind == "html":
+                    from ..functions.html import extract_main_text
+
+                    raw = extract_main_text(raw)
+                texts = _tokenize_txt(raw)
                 last = [False] * len(texts)
             else:
                 continue  # unknown kind — standard plan quarantines it

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_KINDS = ("image", "table", "figure")
-TEXT_KINDS = ("text", "hocr")
+TEXT_KINDS = ("text", "hocr", "html")
 
 # Output relation of the parse stage.  kind: 'word' (a final token),
 # media pass-through ('image'/'table'/'figure'), 'page' (per-parsed-span
@@ -273,7 +273,13 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     out.add(doc_id, span_offset, -1, "page", page_id=page_id,
                             engine=engine, caps=caps)
                     folded = _fold_tokens(texts, last, lines, toks)
-                elif kind == "text":
+                elif kind in ("text", "html"):
+                    if kind == "html":
+                        # boilerplate strip first (functions/html.py frozen
+                        # rule), then the TXT tokenizer path
+                        from ..functions.html import extract_main_text
+
+                        text = extract_main_text(text or "")
                     tok_texts = _tokenize_txt(text or "")
                     # TxtToken.isLastTokenOnLine() == false always (TxtToken.java:19-21)
                     folded = _fold_tokens(tok_texts, [False] * len(tok_texts),
@@ -283,7 +289,7 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             except ValueError as e:
                 out.add(doc_id, span_offset, -1, "error", error=str(e))
                 continue
-            if not folded[0] and kind == "text":
+            if not folded[0] and kind in ("text", "html"):
                 # token-less TXT span: keep the doc_id alive in the parsed
                 # relation (hOCR spans already emit a 'page' metadata row)
                 out.add(doc_id, span_offset, -1, "empty")

@@ -730,6 +730,28 @@ def ocr_quarantine(spark, sf_dir):
     return evaluate_documents(_corpus_df(spark)).quarantine.orderBy("doc_id", "span_ord")
 
 
+def html_main_content(spark, sf_dir):
+    """HTML boilerplate strip (native expression twin): wrap each document in
+    markup with link-dense nav/footer boilerplate, extract main content, and
+    verify only the real text survives (rows-only: RE2 can't mirror the
+    lazy/dotall tag patterns faithfully)."""
+    from .functions.html import extract_main_text_expr
+
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><div><a href='/'>Home</a> <a href='/a'>About</a></div>"
+              "<script>var boiler = 1;</script><p>"),
+        F.col("text"),
+        F.lit("</p><div><a href='/t'>Terms</a></div></body></html>"))
+    main = extract_main_text_expr(html)
+    return d.select(
+        "doc_id",
+        F.length(main).alias("main_len"),
+        F.size(F.regexp_extract_all(main, F.lit(TS.PORTABLE_TOKEN_RE), 0)).alias("n_tokens"),
+        (~main.contains("Home") & ~main.contains("Terms") & ~main.contains("boiler"))
+        .alias("boilerplate_free"))
+
+
 def ocr_worst_pages(spark, sf_dir):
     """Worst-20 pages by quality score (SURVEY §2.6 sorts/top-k over the
     pipeline's own output; -1 sentinels excluded)."""
@@ -805,6 +827,7 @@ QUERIES: dict[str, Query] = {
     "ocr_page_scores": ocr_page_scores,
     "ocr_spans_out": ocr_spans_out,
     "ocr_quarantine": ocr_quarantine,
+    "html_main_content": html_main_content,
     "ocr_worst_pages": ocr_worst_pages,
     "media_features": media_features,
     "streaming_events_daily": streaming_events_daily,

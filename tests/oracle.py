@@ -373,12 +373,49 @@ def parse_hocr(page_xml: str) -> ParsedPage:
 
 MEDIA_KINDS = ("image", "table", "figure")
 
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip — independent implementation of the frozen rule in
+# page_evaluator_spark/functions/html.py's docstring (blocks split on closing
+# block tags / <br>; keep len(text) >= 25 and link density <= 0.33).
+# ---------------------------------------------------------------------------
+
+_H_BLOCK_TAGS = ("p|div|li|h1|h2|h3|h4|h5|h6|tr|td|section|article|header|"
+                 "footer|blockquote|table|ul|ol")
+_H_DROP = regex.compile(r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->")
+_H_SEP = regex.compile(rf"(?i)<br\s*/?>|</(?:{_H_BLOCK_TAGS})\s*>")
+_H_ANCHOR = regex.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+_H_TAG = regex.compile(r"(?s)<[^>]*>")
+_H_WS = regex.compile(r"[ \t\n\x0B\f\r]+")
+_H_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+               ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def _h_text(fragment: str) -> str:
+    s = _H_WS.sub(" ", _H_TAG.sub("", fragment)).strip()
+    for ent, ch in _H_ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def html_main_text(html: str) -> str:
+    if not html:
+        return ""
+    kept = []
+    for block in _H_SEP.split(_H_DROP.sub("", html)):
+        text = _h_text(block)
+        link = _h_text("".join(_H_ANCHOR.findall(block)))
+        if len(text) >= 25 and len(link) <= 0.33 * len(text):
+            kept.append(text)
+    return "\n".join(kept) + "\n" if kept else ""
+
 
 def parse_span(kind: str, text: str) -> ParsedPage:
     if kind == "hocr":
         return parse_hocr(text)
     if kind == "text":
         return parse_txt(text)
+    if kind == "html":
+        return parse_txt(html_main_text(text))
     raise ValueError(f"not a text-ish kind: {kind}")
 
 

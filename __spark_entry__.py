@@ -32,7 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     native classify → per-doc agg → scores.
     """
     from page_evaluator_spark.plans.pipeline import evaluate_documents
+    from page_evaluator_spark.shipping import ensure_shipped
 
+    ensure_shipped(spark)  # executors import the package via addPyFile
     raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs = raw.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -59,8 +61,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from page_evaluator_spark.queries import QUERIES
+    from page_evaluator_spark.shipping import ensure_shipped
 
-    return dict(QUERIES)
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # Arrow kernels unpickle on executors
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

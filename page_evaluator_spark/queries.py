@@ -310,6 +310,35 @@ FROM events GROUP BY 1
 # Events: time ops, as-of join, sessionization, extraction
 # ---------------------------------------------------------------------------
 
+def events_value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same definition as DuckDB's
+    quantile_cont) per event type."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def events_approx_distinct(spark, sf_dir):
+    """Approximate distinct users (HLL) vs exact, per event type — approx is
+    engine-specific so the check is rows-only, but the exact column and the
+    bounded relative error are asserted in tests."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
 def events_daily_stats(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
@@ -807,6 +836,8 @@ QUERIES: dict[str, Query] = {
     "orders_by_year_quarter": orders_by_year_quarter,
     "pivot_event_counts": pivot_event_counts,
     "events_daily_stats": events_daily_stats,
+    "events_value_percentiles": events_value_percentiles,
+    "events_approx_distinct": events_approx_distinct,
     "events_asof_last_signup": events_asof_last_signup,
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
@@ -851,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_year_quarter": _YEARQTR_SQL,
         "pivot_event_counts": _PIVOT_SQL,
         "events_daily_stats": _DAILY_SQL,
+        "events_value_percentiles": _PERCENTILES_SQL,
         "events_asof_last_signup": _ASOF_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_props_extract": _PROPS_SQL,

@@ -49,4 +49,11 @@ def get_spark(app_name: str = "page-evaluator-spark", master: str | None = None,
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # executors must be able to unpickle the Arrow kernels no matter where
+    # the driver was launched from (spark-submit --py-files also covers this;
+    # addPyFile is the belt-and-braces for harness-built sessions)
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

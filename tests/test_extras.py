@@ -163,3 +163,32 @@ def test_minhash_array_vs_agg_signatures(spark):
     agg = {r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
            for r in minhash_signatures_agg(docs).collect()}
     assert arr == agg
+
+
+def test_pdf_layout_plumbing(spark):
+    from page_evaluator_spark.operators.pdf import parse_pdf_spans, pdf_block_tokens
+
+    rows = spark.createDataFrame(
+        [("d1", "pdf://a"), ("d2", "pdf://b")], "doc_id string, media_ref string")
+    blocks = parse_pdf_spans(rows)
+    got = blocks.collect()
+    assert got and all(r["decode_error"] is None for r in got)
+    # deterministic, ordered layout
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append((r["page_no"], r["block_no"]))
+    for seq in per_doc.values():
+        assert seq == sorted(seq)
+    again = [tuple(r) for r in parse_pdf_spans(rows).collect()]
+    assert again == [tuple(r) for r in got]
+    toks = pdf_block_tokens(blocks)
+    assert toks.count() > 0
+    assert set(toks.columns) == {"doc_id", "page_no", "block_no", "tok_idx", "text"}
+
+
+def test_approx_distinct_error_bound(spark, sf01_dir):
+    from page_evaluator_spark.queries import events_approx_distinct
+
+    for r in events_approx_distinct(spark, sf01_dir).collect():
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel < 0.1, r

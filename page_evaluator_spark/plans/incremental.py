@@ -19,7 +19,6 @@ filter is evaluated at scan time.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession

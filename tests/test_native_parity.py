@@ -92,7 +92,7 @@ def test_native_txt_tokenizer_matches_oracle(spark):
         # the Python-UDF tokenizer path must agree with both (full TXT parse
         # includes reflow+dehyphenation, so compare the raw tokenizer here)
     for t in set(texts):
-        import regex as _re
+
         from page_evaluator_spark.operators.parse import _TOKEN
         assert [m.group(0) for m in _TOKEN.finditer(t)] == oracle.simple_tokenize(t), repr(t)
 

@@ -6,7 +6,6 @@ stable schema.
 
 from __future__ import annotations
 
-import math
 
 import duckdb
 import pandas as pd

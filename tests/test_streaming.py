@@ -46,7 +46,7 @@ def test_scores_stream_incremental_resume(spark, tmp_path):
     # complete-mode memory sink over resumed checkpoint: state includes BOTH
     # batches, but the second trigger only READ the new file (checkpoint log)
     assert out2.count() == len(batch1) + len(batch2)
-    import json
+
     import os
 
     # the file-source commit log proves batch 2 saw only the new file

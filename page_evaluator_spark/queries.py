@@ -181,6 +181,47 @@ FROM (SELECT o_custkey, o_orderkey, o_orderdate,
 """
 
 
+def window_running_revenue(spark, sf_dir):
+    """Cumulative-sum window: running order total per customer over time."""
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (distinct from rollup/cube) via Spark SQL."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
 def rollup_orders(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return (o.rollup("o_orderstatus", "o_orderpriority")
@@ -827,6 +868,8 @@ QUERIES: dict[str, Query] = {
     "broadcast_part_revenue": broadcast_part_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
     "window_order_gaps": window_order_gaps,
+    "window_running_revenue": window_running_revenue,
+    "grouping_sets_orders": grouping_sets_orders,
     "rollup_orders": rollup_orders,
     "cube_events_dow": cube_events_dow,
     "set_ops_customers": set_ops_customers,
@@ -873,6 +916,8 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_part_revenue": _BROADCAST_SQL,
         "window_top_orders_per_cust": _WINDOW_TOPK_SQL,
         "window_order_gaps": _WINDOW_GAPS_SQL,
+        "window_running_revenue": _RUNNING_SQL,
+        "grouping_sets_orders": _GROUPING_SETS_SQL,
         "rollup_orders": _ROLLUP_SQL,
         "cube_events_dow": _CUBE_SQL,
         "set_ops_customers": _SETOPS_SQL,

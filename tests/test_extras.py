@@ -192,3 +192,19 @@ def test_approx_distinct_error_bound(spark, sf01_dir):
     for r in events_approx_distinct(spark, sf01_dir).collect():
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel < 0.1, r
+
+
+def test_entry_schema_stable(spark):
+    """Driver smoke contract: entry() returns >0 rows with a stable schema."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_entry", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "token_count", "punct", "number_objects", "single_letter",
+        "ge4_repeated", "len_gt1_nonalpha", "clean_short", "clean_all_alpha",
+        "clean_one_nonalpha", "clean_two_nonalpha", "clean_3plus_nonalpha",
+        "correctable_score", "quality_score"]
+    assert df.count() > 0

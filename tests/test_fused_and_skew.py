@@ -85,3 +85,31 @@ def test_apply_in_pandas_scorer_equals_standard(spark):
     std = score_pages(parsed).where(F.col("token_count") > 0)
     grouped = score_words_grouped(words).select(*std.columns)
     assert _rows(std) == _rows(grouped)
+
+
+def test_native_txt_scorer_equals_standard(spark):
+    """Zero-Python TXT plan == standard Arrow-kernel plan on NFC-stable input."""
+    import random as _r
+
+    from page_evaluator_spark.operators.native_txt import score_text_docs_native
+
+    rng = _r.Random(77)
+    vocab = ["whereunto", "quality", "a.", "!!", "1,234.56", "$100", "I",
+             "mmmm", "vn'to", "q3e1n", "h0u5e9", "...", "?!", "to", "esti-",
+             "mation", "wrap-"]
+    docs = []
+    for i in range(40):
+        lines = ["  ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+                 for _ in range(rng.randint(0, 6))]
+        docs.append({"doc_id": f"t{i:03d}", "spans": [
+            {"kind": "text", "text": "\n".join(lines) + "\n", "media_ref": None,
+             "offset": 0}]})
+    docs.append({"doc_id": "t_empty", "spans": [
+        {"kind": "text", "text": "", "media_ref": None, "offset": 0}]})
+    df = corpus_to_spark_df(spark, docs)
+    std = score_pages(parse_documents(df))
+    nat = score_text_docs_native(df).select(*std.columns)
+    assert _rows(std) == _rows(nat)
+    # zero Python anywhere in the native plan
+    plan = nat._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan

@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 
 from .textnorm import clean_token
 
-# Verbatim Java patterns (OCRPage.java:16-19); CANON_EQ dropped per NFC rule.
-PUNCT_TOKEN_RE = "^\\p{Punct}$"
-NUMBER_OBJECT_RE = "^\\p{Sc}?[\\.,/\\-]?(\\p{N}+[\\.,/%\\-]?)+\\p{Sc}?$"
-ONE_ALPHA_RE = "^\\p{L}$"
+# Java patterns (OCRPage.java:16-19); CANON_EQ dropped per NFC rule.  The
+# reference applies the first three via Matcher.matches() (whole-input
+# consumption), but rlike is find(): '$' would also match BEFORE a final line
+# terminator (\n, \r, U+0085, U+2028, U+2029 - Java trim strips only the
+# first two), so a token like '12'+U+2028 would wrongly classify as
+# number_objects.  Java regex '\z' (absolute end of input) restores true
+# matches() semantics.
+PUNCT_TOKEN_RE = "^\\p{Punct}\\z"
+NUMBER_OBJECT_RE = "^\\p{Sc}?[\\.,/\\-]?(\\p{N}+[\\.,/%\\-]?)+\\p{Sc}?\\z"
+ONE_ALPHA_RE = "^\\p{L}\\z"
 REPEATED_4PLUS_RE = "(\\P{N})\\1{3,}"
 NON_ALPHA_RE = "\\P{L}"
 
@@ -36,10 +42,9 @@ CATEGORIES = [
 def category_expr(tok: Column) -> Column:
     """token text → category (OCRPage.java:64-121, exact cascade order).
 
-    ``rlike`` is find() semantics; the first three reference patterns carry
-    their own ^$ anchors (matches()-equivalent on trimmed tokens), and the
-    repeated-chars pattern is deliberately unanchored (find(),
-    OCRPage.java:82-86).
+    ``rlike`` is find() semantics; the first three patterns are ^…\\z-anchored
+    (true matches() equivalence, see above) and the repeated-chars pattern is
+    deliberately unanchored (find(), OCRPage.java:82-86).
     """
     norm = F.lower(tok)  # OCRPage.java:53 (ROOT-locale intent)
     clean = clean_token(norm)  # OCRPage.java:54,140-145

@@ -70,9 +70,12 @@ def tokenize_txt(text: Column) -> Column:
 def hocr_title_to_map(title: Column) -> Column:
     """hOCR ``title`` attribute → MAP<STRING,STRING> (HOCRToken.java:20-29).
 
-    Java splits on ';', trims, then splits each segment at its FIRST space —
-    exactly Spark's str_to_map(title, ';\\s*', ' ') (pair split is
-    first-occurrence).  Properties are carried metadata, never used by the
-    scoring cascade (SURVEY.md §2 P6).
+    Java splits on ';' (String.split drops TRAILING empty segments — stripped
+    here up front), Java-trims each segment, then splits it at its FIRST
+    space — Spark's str_to_map with a whitespace-absorbing pair delimiter
+    (pair split is first-occurrence).  Properties are carried metadata, never
+    used by the scoring cascade (SURVEY.md §2 P6).
     """
-    return F.str_to_map(F.trim(title), F.lit(";\\s*"), F.lit(" "))
+    no_trailing = F.regexp_replace(title, "(;|[\\x00-\\x20])+$", "")
+    return F.str_to_map(F.regexp_replace(no_trailing, JAVA_TRIM_RE, ""),
+                        F.lit("[\\x00-\\x20]*;[\\x00-\\x20]*"), F.lit(" "))

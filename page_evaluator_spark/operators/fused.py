@@ -48,12 +48,17 @@ FUSED_SCHEMA = (
 
 
 def _classify(tok: str) -> int:
-    """Category index, first-match-wins (OCRPage.java:64-121)."""
-    if _P_PUNCT.search(tok):
+    """Category index, first-match-wins (OCRPage.java:64-121).
+
+    The first three are Matcher.matches() in the reference → fullmatch here
+    (whole-token consumption; ^$-anchored search would wrongly accept tokens
+    ending in a line terminator).
+    """
+    if _P_PUNCT.fullmatch(tok):
         return 0
-    if _P_NUMBER.search(tok):
+    if _P_NUMBER.fullmatch(tok):
         return 1
-    if _P_ONE_ALPHA.search(tok):
+    if _P_ONE_ALPHA.fullmatch(tok):
         return 2
     norm = tok.lower()
     if _P_REPEATED.search(norm):

@@ -38,11 +38,14 @@ TEXT_KINDS = ("text", "hocr", "html")
 # media pass-through ('image'/'table'/'figure'), 'page' (per-parsed-span
 # metadata), 'error' (quarantine).  pos = 0-based emit position within the
 # span (words) / the span itself (media) — (span_offset, pos) is the total
-# order that defines spans_out.
+# order that defines spans_out.  props = the word's hOCR title properties
+# (HOCRToken.java:20-38: split on ';', trailing empties dropped, each segment
+# Java-trimmed then split at its FIRST space); null for TXT tokens.
 PARSED_SCHEMA = (
     "doc_id string, span_offset int, pos int, kind string, text string, "
     "media_ref string, line_idx int, tok_idx int, "
-    "page_id string, ocr_engine string, ocr_capabilities array<string>, error string"
+    "page_id string, ocr_engine string, ocr_capabilities array<string>, "
+    "props map<string,string>, error string"
 )
 
 # --- TXT path (TxtPage.java:24,41-54) --------------------------------------
@@ -54,11 +57,14 @@ _HYPHEN_WORD = regex.compile("(" + _NWS + r"*\p{L})-\n(\p{L}" + _NWS + r"*)" + _
 # same-char runs of other.  Whitespace = Character.isWhitespace ∪ Zs.
 _TOKEN = regex.compile(r"\p{L}+|\p{Nd}+|([^\p{L}\p{Nd}\p{Zs}\p{Zl}\p{Zp}\t-\r\x1c-\x1f])\1*")
 _JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+# BufferedReader.readLine (TxtPage.java:41) splits ONLY on \n, \r, \r\n —
+# never on \f/\x0B/\x1c-\x1e/NEL/U+2028/9 the way Python str.splitlines does.
+_LINE_SPLIT = regex.compile(r"\r\n|\r|\n")
 
 
 def _tokenize_txt(text: str) -> list[str]:
     """TxtPage.parse: reflow (:41-47) → dehyphenate (:50-52) → tokenize (:54)."""
-    kept = [ln.strip(_JAVA_TRIM) for ln in text.splitlines()]
+    kept = [ln.strip(_JAVA_TRIM) for ln in _LINE_SPLIT.split(text)]
     body = "".join(ln + "\n" for ln in kept if ln)
     body = _HYPHEN_WORD.sub(r"\1\2\n", body)
     return [m.group(0) for m in _TOKEN.finditer(body)]
@@ -66,8 +72,34 @@ def _tokenize_txt(text: str) -> list[str]:
 
 # --- hOCR path (HOCRPage.java, HOCRTokenIterator.java) ----------------------
 
-def _parse_hocr(xml_text: str) -> tuple[list[str], list[bool], str, str, list[str]]:
-    """→ (token_texts, is_last_on_line flags, page_id, engine, capabilities).
+def _title_props(title: str) -> dict[str, str]:
+    """hOCR ``title`` → property dict (HOCRToken.java:20-29, exact Java split).
+
+    Java ``String.split(";")`` drops TRAILING empty segments (so a trailing
+    ';' is fine) but keeps leading/interior ones, and ``"".split(";")`` is
+    ``[""]`` — both reproduced here.  Each kept segment is Java-trimmed and
+    split at its first space; a space-less segment (including an empty one)
+    crashes the reference (StringIndexOutOfBounds) → ValueError here.
+    """
+    segs = title.split(";")
+    if len(segs) > 1:  # Java: trailing-empty removal never applies to [""]
+        while segs and segs[-1] == "":
+            segs.pop()
+    props: dict[str, str] = {}
+    for seg in segs:
+        seg = seg.strip(_JAVA_TRIM)  # prop.trim(), HOCRToken.java:24
+        idx = seg.find(" ")  # prop.indexOf(" "), HOCRToken.java:25
+        if idx < 0:
+            raise ValueError(f"bad hOCR title segment: {seg!r}")
+        props[seg[:idx]] = seg[idx + 1:]  # Properties.put — last wins per key
+    return props
+
+
+def _parse_hocr(
+    xml_text: str,
+) -> tuple[list[str], list[bool], list[dict[str, str]], str, str, list[str]]:
+    """→ (token_texts, is_last_on_line flags, per-token title props, page_id,
+    engine, capabilities).
 
     Raises ValueError on anything the reference turns into PageParserException
     or a crash (missing ocr_page → NPE, HOCRPage.java:53-61; malformed title
@@ -95,16 +127,15 @@ def _parse_hocr(xml_text: str) -> tuple[list[str], list[bool], str, str, list[st
 
     texts: list[str] = []
     last: list[bool] = []
+    props: list[dict[str, str]] = []
     for line in (e for e in page.iter() if e is not page and e.get("class") == "ocr_line"):
         words = [e for e in line.iter() if e is not line and e.get("class") == "ocrx_word"]
         n = len(words)  # zero-word lines skipped, HOCRTokenIterator.java:60-82
         for i, w in enumerate(words):
-            for prop in w.get("title", "").split(";"):  # HOCRToken.java:22-29
-                if prop.strip().find(" ") < 0:
-                    raise ValueError(f"bad hOCR title segment: {prop.strip()!r}")
+            props.append(_title_props(w.get("title", "")))  # HOCRToken.java:20-29
             texts.append("".join(w.itertext()))  # getTextContent, HOCRToken.java:40-42
             last.append(i == n - 1)  # HOCRTokenIterator.java:45
-    return texts, last, page_id, engine, caps.split(" ")
+    return texts, last, props, page_id, engine, caps.split(" ")
 
 
 # --- the sequential fold, vectorized (OCRPage.java:38-49) --------------------
@@ -140,33 +171,33 @@ def join_hyphen_tokens(texts: list[str], is_last: list[bool]) -> list[str]:
     return out
 
 
-# --- hyphen fold with line/tok provenance (for the token relation) -----------
+# --- hyphen fold with provenance (for the token relation) --------------------
 
-def _fold_tokens(texts: list[str], is_last: list[bool], lines: list[int],
-                 toks: list[int]) -> tuple[list[str], list[int], list[int]]:
-    """join_hyphen_tokens + provenance of the surviving (first) token.
+def _fold_tokens(texts: list[str], is_last: list[bool]) -> tuple[list[str], list[int]]:
+    """join_hyphen_tokens + the ORIGINAL index of each surviving (first) token.
 
-    Returns parallel lists (token_texts, line_idxs, tok_idxs).  Fast path for
-    spans with no join candidates (all TXT spans, most hOCR spans).
+    Returns parallel lists (token_texts, src_idxs); callers index any
+    per-source-token payload (line/tok provenance, hOCR title props) by
+    src_idxs.  Fast path for spans with no join candidates (all TXT spans,
+    most hOCR spans).
     """
     n = len(texts)
     if n == 0:
-        return [], [], []
+        return [], []
     t = [s.strip(_JAVA_TRIM) for s in texts]
     _nfc = unicodedata.normalize
     if not any(last and s.endswith("-") for s, last in zip(t, is_last)):
-        out_t, out_l, out_k = [], [], []
+        out_t, out_i = [], []
         for i, s in enumerate(t):
             if s:
                 out_t.append(_nfc("NFC", s))
-                out_l.append(lines[i])
-                out_k.append(toks[i])
-        return out_t, out_l, out_k
-    out_t, out_l, out_k = [], [], []
+                out_i.append(i)
+        return out_t, out_i
+    out_t, out_i = [], []
     i = 0
     while i < n:
         s = t[i]
-        li, ti = lines[i], toks[i]
+        src = i
         if is_last[i] and s.endswith("-") and i + 1 < n:
             s = s[:-1] + t[i + 1]
             i += 2
@@ -174,9 +205,8 @@ def _fold_tokens(texts: list[str], is_last: list[bool], lines: list[int],
             i += 1
         if s:
             out_t.append(_nfc("NFC", s))
-            out_l.append(li)
-            out_k.append(ti)
-    return out_t, out_l, out_k
+            out_i.append(src)
+    return out_t, out_i
 
 
 class _Out:
@@ -184,14 +214,15 @@ class _Out:
 
     __slots__ = ("cols",)
     _names = ["doc_id", "span_offset", "pos", "kind", "text", "media_ref",
-              "line_idx", "tok_idx", "page_id", "ocr_engine", "ocr_capabilities", "error"]
+              "line_idx", "tok_idx", "page_id", "ocr_engine", "ocr_capabilities",
+              "props", "error"]
 
     def __init__(self) -> None:
         self.cols: dict[str, list[Any]] = {n: [] for n in self._names}
 
     def add(self, doc_id, span_offset, pos, kind, text=None, media_ref=None,
             line_idx=None, tok_idx=None, page_id=None, engine=None, caps=None,
-            error=None) -> None:
+            props=None, error=None) -> None:
         c = self.cols
         c["doc_id"].append(doc_id)
         c["span_offset"].append(span_offset)
@@ -204,12 +235,14 @@ class _Out:
         c["page_id"].append(page_id)
         c["ocr_engine"].append(engine)
         c["ocr_capabilities"].append(caps)
+        c["props"].append(props)
         c["error"].append(error)
 
     def add_words(self, doc_id, span_offset: int, toks: list[str],
-                  lines: list[int], tok_idxs: list[int]) -> None:
-        """Bulk emit of a span's word rows (12 list-extends instead of
-        12×n appends — the kernel's hot path)."""
+                  lines: list[int], tok_idxs: list[int],
+                  props: list[dict] | None = None) -> None:
+        """Bulk emit of a span's word rows (13 list-extends instead of
+        13×n appends — the kernel's hot path)."""
         k = len(toks)
         if k == 0:
             return
@@ -225,6 +258,7 @@ class _Out:
         c["page_id"].extend([None] * k)
         c["ocr_engine"].extend([None] * k)
         c["ocr_capabilities"].extend([None] * k)
+        c["props"].extend(props if props is not None else [None] * k)
         c["error"].extend([None] * k)
 
     def frame(self) -> pd.DataFrame:
@@ -257,7 +291,7 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 continue
             try:
                 if kind == "hocr":
-                    texts, last, page_id, engine, caps = _parse_hocr(text or "")
+                    texts, last, tprops, page_id, engine, caps = _parse_hocr(text or "")
                     # token provenance: line/tok indices in document order
                     lines, toks = [], []
                     li, ti = -1, 0
@@ -272,7 +306,10 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                         prev_new = last[j]
                     out.add(doc_id, span_offset, -1, "page", page_id=page_id,
                             engine=engine, caps=caps)
-                    folded = _fold_tokens(texts, last, lines, toks)
+                    folded_t, src = _fold_tokens(texts, last)
+                    out_lines = [lines[i] for i in src]
+                    out_toks = [toks[i] for i in src]
+                    out_props = [tprops[i] for i in src]
                 elif kind in ("text", "html"):
                     if kind == "html":
                         # boilerplate strip first (functions/html.py frozen
@@ -282,18 +319,20 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                         text = extract_main_text(text or "")
                     tok_texts = _tokenize_txt(text or "")
                     # TxtToken.isLastTokenOnLine() == false always (TxtToken.java:19-21)
-                    folded = _fold_tokens(tok_texts, [False] * len(tok_texts),
-                                          [0] * len(tok_texts), list(range(len(tok_texts))))
+                    folded_t, src = _fold_tokens(tok_texts, [False] * len(tok_texts))
+                    out_lines = [0] * len(folded_t)
+                    out_toks = src
+                    out_props = None
                 else:
                     raise ValueError(f"Unsupported format: {kind}")  # Main.java:87-88
             except ValueError as e:
                 out.add(doc_id, span_offset, -1, "error", error=str(e))
                 continue
-            if not folded[0] and kind in ("text", "html"):
+            if not folded_t and kind in ("text", "html"):
                 # token-less TXT span: keep the doc_id alive in the parsed
                 # relation (hOCR spans already emit a 'page' metadata row)
                 out.add(doc_id, span_offset, -1, "empty")
-            out.add_words(doc_id, span_offset, *folded)
+            out.add_words(doc_id, span_offset, folded_t, out_lines, out_toks, out_props)
         yield out.frame()
 
 

@@ -47,3 +47,13 @@ def page_meta(parsed: DataFrame) -> DataFrame:
     """Per-parsed-hOCR-span page metadata (HOCRPage.java:48-55)."""
     return (parsed.where(F.col("kind") == "page")
             .select("doc_id", "span_offset", "page_id", "ocr_engine", "ocr_capabilities"))
+
+
+def token_props(parsed: DataFrame) -> DataFrame:
+    """Per-token hOCR title properties (HOCRToken.java:20-38): word rows with
+    the parsed Properties map plus the two fields real hOCR users want —
+    word confidence (x_wconf) and bounding box (bbox)."""
+    return (parsed.where((F.col("kind") == "word") & F.col("props").isNotNull())
+            .select("doc_id", "span_offset", "pos", "text", "props",
+                    F.col("props").getItem("x_wconf").cast("int").alias("x_wconf"),
+                    F.col("props").getItem("bbox").alias("bbox")))

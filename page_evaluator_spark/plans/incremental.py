@@ -8,12 +8,16 @@ are appended atomically-per-part through the Catalog facade, followed by one
 lineage row carrying row-count metrics.  An interrupted run leaves complete
 parts committed; the next invocation anti-joins the lineage table and
 processes only the remainder (re-processing a part is idempotent: its commit
-directory / Iceberg snapshot is keyed by (run group, part)).
+directory / Iceberg snapshot is keyed by the PART alone, so a crash-orphaned
+partial commit is overwritten on retry, never duplicated — even when the
+retry runs under a fresh --run-id).
 
 At 10^12 docs the input table would be bucketed by the same hash so each
 part-job prunes to its buckets instead of re-scanning (Iceberg
-bucket(n_parts, doc_id) partition transform); on the parquet fallback the
-filter is evaluated at scan time.
+bucket(n_parts, doc_id) partition transform).  The parquet fallback gets the
+same property by STAGING: the input is written ONCE partitioned by _part, and
+every per-part job then reads only its own partition directory (partition
+pruning) — one extra full write instead of n_parts full scans.
 """
 
 from __future__ import annotations
@@ -66,29 +70,55 @@ class IncrementalRunner:
     def pending_parts(self) -> list[int]:
         return [p for p in range(self.n_parts) if p not in self.committed_parts()]
 
+    # --- input staging (parquet-fallback bucketing) -----------------------
+    def _stage_docs(self, docs: DataFrame) -> DataFrame:
+        """Write the input once, partitioned by _part, so per-part jobs prune
+        to one directory instead of rescanning the full input (the parquet
+        stand-in for Iceberg bucket(n_parts, doc_id)).  Idempotent: reused on
+        resume when the staged write completed (_SUCCESS present)."""
+        staged = self._ref("staged_docs")
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            (docs.withColumn("_part", part_id_expr(self.n_parts))
+                 .write.mode("overwrite").partitionBy("_part").parquet(staged))
+        return self.spark.read.parquet(staged)
+
     # --- execution ---------------------------------------------------------
-    def run(self, docs: DataFrame, run_id: str, max_parts: int | None = None) -> list[int]:
+    def run(self, docs: DataFrame, run_id: str, max_parts: int | None = None,
+            stage_input: bool | None = None) -> list[int]:
         """Process pending parts (optionally capped — simulates interruption).
 
+        stage_input (default: auto — stage when >1 part is pending and the
+        output root is a path) controls the write-once/prune-per-part staging;
+        on Iceberg the input table's own bucket(doc_id) layout replaces it.
         Returns the list of parts committed by THIS invocation.
         """
         done: list[int] = []
         pending = self.pending_parts()
         if max_parts is not None:
             pending = pending[:max_parts]
-        docs_p = docs.withColumn("_part", part_id_expr(self.n_parts))
+        if stage_input is None:
+            stage_input = len(pending) > 1 and "/" in self.out_dir
+        if stage_input:
+            docs_p = self._stage_docs(docs)
+        else:
+            docs_p = docs.withColumn("_part", part_id_expr(self.n_parts))
         for part in pending:
+            # Commit token derived from the PART, not the run id: if a prior
+            # run crashed after appending outputs but before the lineage
+            # commit, the part is still pending and re-processing OVERWRITES
+            # the orphaned commit=part{N} dir instead of appending a duplicate
+            # beside it — resume is idempotent even across fresh --run-ids.
+            commit = f"part{part}"
             part_docs = docs_p.where(F.col("_part") == part).drop("_part")
             out = evaluate_documents(part_docs, repartition=self.repartition,
                                      cache_parsed=True)
             try:
                 scores = out.page_scores.withColumn("part_id", F.lit(part))
-                self.catalog.append(scores, self._ref("page_scores"),
-                                    run_id=f"{run_id}_p{part}")
+                self.catalog.append(scores, self._ref("page_scores"), run_id=commit)
                 self.catalog.append(out.spans_out.withColumn("part_id", F.lit(part)),
-                                    self._ref("spans_out"), run_id=f"{run_id}_p{part}")
+                                    self._ref("spans_out"), run_id=commit)
                 self.catalog.append(out.quarantine.withColumn("part_id", F.lit(part)),
-                                    self._ref("quarantine"), run_id=f"{run_id}_p{part}")
+                                    self._ref("quarantine"), run_id=commit)
                 agg = scores.agg(F.count("*").alias("n_docs"),
                                  F.sum("token_count").alias("n_tokens")).collect()[0]
             finally:
@@ -100,7 +130,7 @@ class IncrementalRunner:
             ).withColumn("committed_at", F.current_timestamp())
             # lineage commit LAST: a crash before this line leaves the part
             # uncommitted and it will be re-done (idempotent per-part dirs)
-            self.catalog.append(lineage_row, self.lineage_ref, run_id=f"{run_id}_p{part}")
+            self.catalog.append(lineage_row, self.lineage_ref, run_id=commit)
             done.append(part)
         return done
 

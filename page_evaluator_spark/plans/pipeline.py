@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 
 from ..operators.parse import parse_documents
 from ..operators.score import score_pages
-from ..operators.spans import page_meta, quarantine, spans_out
+from ..operators.spans import page_meta, quarantine, spans_out, token_props
 
 
 @dataclass
@@ -21,6 +21,7 @@ class PipelineOutputs:
     spans_out: DataFrame
     quarantine: DataFrame
     page_meta: DataFrame
+    token_props: DataFrame
 
 
 def evaluate_documents(docs: DataFrame, repartition: int | None = None,
@@ -42,4 +43,5 @@ def evaluate_documents(docs: DataFrame, repartition: int | None = None,
         spans_out=spans_out(parsed),
         quarantine=quarantine(parsed),
         page_meta=page_meta(parsed),
+        token_props=token_props(parsed),
     )

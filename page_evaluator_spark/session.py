@@ -41,6 +41,9 @@ def get_spark(app_name: str = "page-evaluator-spark", master: str | None = None,
         # 128 MB input splits — reasonable parquet scan granularity at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # java.util.Properties.put is last-wins; str_to_map must match
+        # (HOCRToken.java:20-29 title parse — duplicate keys keep the last)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # throughput GC: the pipeline allocates short-lived strings at a high
         # rate across many task threads; ParallelGC burns measurably less CPU

@@ -53,19 +53,17 @@ def run_scores_stream(spark: SparkSession, docs_path: str,
     arrived files (Spark's file-source tracking = the resume semantics the
     north_rule asks for, at the ingest tier).
     """
-    from ..functions.classify import counter_aggs, with_scores
-    from ..operators.parse import parse_spans
-    from ..operators.score import classify_words
+    from ..operators.parse import explode_docs, parse_spans
+    from ..operators.score import score_pages
 
     schema = spark.read.parquet(docs_path).schema
     stream = spark.readStream.schema(schema).parquet(docs_path)
-    spans = stream.select("doc_id", F.explode("spans").alias("span")).select(
-        "doc_id",
-        F.col("span.offset").alias("span_offset"), F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"), F.col("span.media_ref").alias("media_ref"))
-    agg = classify_words(parse_spans(spans)).groupBy("doc_id").agg(*counter_aggs())
+    # EXACTLY the batch plan (explode_outer + marker rows + null-category agg,
+    # score.py), so zero-span / media-only / quarantined docs still emit the
+    # -1.0/-1.0 sentinel score row — streaming == batch, pinned by test.
+    scored = score_pages(parse_spans(explode_docs(stream)))
     name = f"stream_scores_{uuid.uuid4().hex[:8]}"
-    q = (with_scores(agg).writeStream.format("memory").queryName(name)
+    q = (scored.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)

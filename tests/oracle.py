@@ -165,6 +165,7 @@ class PageStats:
 class Token:
     text: str
     is_last_on_line: bool
+    props: dict | None = None  # hOCR title properties (HOCRToken.java:20-29)
 
 
 @dataclass
@@ -209,11 +210,14 @@ def classify_token(token_text: str) -> str:
 
     ``token_text`` is the trimmed/joined/NFC non-empty token.
     """
-    if PUNCT_TOKEN.search(token_text):  # matches() — pattern self-anchored
+    # Matcher.matches() == fullmatch: the ENTIRE token must be consumed (a
+    # trailing line terminator defeats it, unlike find() with ^$ anchors,
+    # whose $ also matches before a final \n/ /…)
+    if PUNCT_TOKEN.fullmatch(token_text):
         return "punct"
-    if NUMBER_OBJECT.search(token_text):
+    if NUMBER_OBJECT.fullmatch(token_text):
         return "number_objects"
-    if ONE_ALPHA.search(token_text):
+    if ONE_ALPHA.fullmatch(token_text):
         return "single_letter"
     norm = token_text.lower()  # OCRPage.java:53
     if REPEATED_4PLUS.search(norm):  # find() — OCRPage.java:82-86
@@ -287,7 +291,9 @@ def parse_txt(page_text: str) -> ParsedPage:
     Line filter/reflow (:41-47) → dehyphenation regex (:50-52) → SimpleTokenizer.
     TxtToken.isLastTokenOnLine is hardcoded false (TxtToken.java:19-21).
     """
-    lines = page_text.splitlines()
+    # BufferedReader.readLine splits ONLY on \n/\r/\r\n (TxtPage.java:41) —
+    # NOT Python splitlines' \f/\x0B/\x1c-\x1e/NEL/U+2028/9
+    lines = regex.split(r"\r\n|\r|\n", page_text)
     kept = [ln.strip(_JAVA_TRIM_CHARS) for ln in lines]
     text = "".join(ln + "\n" for ln in kept if ln != "")
     text = HYPHEN_WORD.sub(r"\1\2\n", text)
@@ -353,12 +359,21 @@ def parse_hocr(page_xml: str) -> ParsedPage:
             words = [e for e in line.iter() if e is not line and e.get("class") == "ocrx_word"]
             for wi, w in enumerate(words):
                 title = w.get("title", "")
-                for prop in title.split(";"):  # HOCRToken.java:22-29
-                    prop = prop.strip()
+                # Java String.split(";") drops TRAILING empty segments (a
+                # trailing ';' is legal) but keeps leading/interior ones, and
+                # "".split(";") is [""] (HOCRToken.java:22-29)
+                segs = title.split(";")
+                if len(segs) > 1:
+                    while segs and segs[-1] == "":
+                        segs.pop()
+                props: dict[str, str] = {}
+                for prop in segs:
+                    prop = prop.strip(_JAVA_TRIM_CHARS)  # prop.trim()
                     idx = prop.find(" ")
                     if idx < 0:
                         raise ValueError(f"StringIndexOutOfBounds: bad title segment {prop!r}")
-                page.tokens.append(Token(_text_content(w), wi == len(words) - 1))
+                    props[prop[:idx]] = prop[idx + 1:]  # Properties.put, last wins
+                page.tokens.append(Token(_text_content(w), wi == len(words) - 1, props))
     except ValueError as e:
         page.error = f"{e}"
         page.tokens = []

@@ -126,14 +126,19 @@ def test_vectorized_hyphen_join_matches_sequential(toks):
         == oracle.final_tokens(tokens)
 
 
+# line-terminator-ish chars BufferedReader.readLine does NOT split on —
+# exercise them in the property pools (ADVICE r1 #1)
+_TERMS = "\f\x0b\x1c\x85  "
+
+
 @settings(max_examples=200, deadline=None)
-@given(st.text(alphabet=_ALPHABET + "\n\t-", min_size=0, max_size=80))
+@given(st.text(alphabet=_ALPHABET + "\n\t-" + _TERMS, min_size=0, max_size=80))
 def test_txt_udf_tokenizer_matches_oracle_property(text):
     assert _tokenize_txt(text) == [t.text for t in oracle.parse_txt(text).tokens]
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.text(alphabet=_ALPHABET + "\n\t", min_size=0, max_size=40))
+@given(st.text(alphabet=_ALPHABET + "\n\t" + _TERMS, min_size=0, max_size=40))
 def test_oracle_tokenizer_statemachine_vs_regex(text):
     # two independent implementations of SimpleTokenizer must agree
     from page_evaluator_spark.operators.parse import _TOKEN

@@ -158,65 +158,76 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
-def simhash64(col: Column, token_re: str = PORTABLE_TOKEN_RE) -> Column:
-    """64-bit SimHash of the token multiset, natively.
+def _simhash_word(hashes: Column) -> Column:
+    """32 bits of a SimHash word from an array of 32-bit token hashes.
 
-    Per token: 64-bit hash = xxhash64; per bit: +1 if set else -1, summed over
-    tokens; signature bit = sign of the sum.  Expressed as 64 conditional
-    sums folded by aggregate() — no UDF, no shuffle.
+    Per bit: +1 if set else -1 summed over tokens (aggregate fold); signature
+    bit = sign of the sum.  All longs, no UDF, no shuffle.
     """
-    toks = F.regexp_extract_all(normalized_text(col), F.lit(token_re), 0)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def _signed64(v: int) -> int:
-        # Java longs are signed: bit 63's mask must wrap negative
-        return v - (1 << 64) if v >= (1 << 63) else v
-
     def _bit_sum(mask: int):
-        # sum over tokens of (bit set ? 1 : -1); factory closure because
-        # PySpark introspects lambda arity (default args would break it)
+        # factory closure — PySpark introspects lambda arity, so a default-arg
+        # lambda would be misread as a (element, index) binary lambda
         return F.aggregate(
             hashes, F.lit(0),
             lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
 
-    bit_exprs = []
-    for bit in range(64):
-        s = _bit_sum(_signed64(1 << bit))
-        bit_exprs.append(
-            F.when(s > 0, F.lit(_signed64(1 << bit)).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        sig = sig.bitwiseOR(e)
+    sig = F.lit(0).cast("long")
+    for bit in range(32):
+        sig = sig + F.when(_bit_sum(1 << bit) > 0,
+                           F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 64-bit SimHash signatures (near-dup = small Hamming distance)."""
+    """Per-doc 64-bit SimHash as two 32-bit words (sig_hi, sig_lo).
+
+    Token hash = the two 32-bit halves of md5(token) — engine-portable (md5 is
+    identical in DuckDB, and 32-bit values avoid signed-64 overflow in either
+    engine), deterministic across cluster sizes.  Token-less docs are excluded
+    (they have no signature, matching the SQL twin's unnest semantics).
+    """
     from .skew import ensure_min_parallelism
 
+    def _half(start: int):
+        # md5 evaluated once per token into _md5s; halves parsed per word
+        return F.transform(F.col("_md5s"),
+                           lambda h: F.conv(F.substring(h, start, 8), 16, 10).cast("long"))
+
     docs = ensure_min_parallelism(docs)
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       simhash64(F.col(text_col)).alias("simhash"))
+    toks = F.regexp_extract_all(normalized_text(F.col(text_col)),
+                                F.lit(PORTABLE_TOKEN_RE), 0)
+    return (docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .select("doc_id",
+                    F.transform(F.col("_toks"), lambda t: F.md5(t)).alias("_md5s"))
+            .select("doc_id",
+                    _simhash_word(_half(1)).alias("sig_hi"),
+                    _simhash_word(_half(9)).alias("sig_lo")))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into n_bands 16-bit keys;
-    pairs agreeing on ≥1 band are candidates, then exact Hamming filter."""
+    """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit keys; pairs
+    agreeing on ≥1 band are candidates, then exact Hamming filter.  Fully
+    expressible in ANSI SQL (md5 halves + bit ops) — see _SIMHASH_SQL twin."""
     sigs = simhash_signatures(docs, text_col, id_col)
+    words = [F.col("sig_lo"), F.shiftright("sig_lo", 16), F.col("sig_hi"),
+             F.shiftright("sig_hi", 16)]
     banded = sigs.select(
-        "doc_id", "simhash",
+        "doc_id", "sig_hi", "sig_lo",
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)))
-            for b in range(n_bands)])).alias("band_key"))
+            F.concat_ws(":", F.lit(str(b)), (w.bitwiseAND(F.lit(0xFFFF))).cast("string"))
+            for b, w in enumerate(words)])).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, "band_key")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+                     F.col("a.sig_hi").alias("ha"), F.col("a.sig_lo").alias("la"),
+                     F.col("b.sig_hi").alias("hb"), F.col("b.sig_lo").alias("lb"))
              .distinct())
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+               + F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))))
     return (pairs.withColumn("hamming", hamming.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))

@@ -380,6 +380,20 @@ def events_approx_distinct(spark, sf_dir):
                  F.countDistinct("user_id").alias("exact_users")))
 
 
+def events_distinct_users(spark, sf_dir):
+    """Exact distinct-count twin of events_approx_distinct (VERDICT r1 #5:
+    the exact column deserves its own oracle-checked row)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users")))
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type
+"""
+
+
 def events_daily_stats(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
@@ -716,9 +730,61 @@ ORDER BY doc_a, doc_b
 
 
 def simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based — no SQL twin; rows-only check)."""
+    """SimHash near-dup pairs — md5-derived 2×32-bit signature, so the FULL
+    derivation (hash → per-bit vote → sign → bands → join → Hamming) has an
+    exact DuckDB twin."""
     return (DD.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
             .orderBy("doc_a", "doc_b"))
+
+
+def _simhash_sql(max_hamming: int = 16) -> str:
+    """Generated twin of operators/dedup.py simhash_near_pairs: 64 per-bit
+    vote sums + signature reassembly, inlined (no loops in SQL)."""
+    hi_bits = ",\n         ".join(
+        f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS hi_{b}"
+        for b in range(32))
+    lo_bits = ",\n         ".join(
+        f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS lo_{b}"
+        for b in range(32))
+    sig_hi = " + ".join(
+        f"CASE WHEN hi_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32))
+    sig_lo = " + ".join(
+        f"CASE WHEN lo_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32))
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+  FROM norm
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+), bits AS (
+  SELECT doc_id,
+         {hi_bits},
+         {lo_bits}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, ({sig_hi}) AS sig_hi, ({sig_lo}) AS sig_lo FROM bits
+), banded AS (
+  SELECT doc_id, sig_hi, sig_lo, unnest([
+    '0:' || CAST(sig_lo & 65535 AS VARCHAR),
+    '1:' || CAST((sig_lo >> 16) & 65535 AS VARCHAR),
+    '2:' || CAST(sig_hi & 65535 AS VARCHAR),
+    '3:' || CAST((sig_hi >> 16) & 65535 AS VARCHAR)]) AS band_key
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -803,8 +869,9 @@ def ocr_quarantine(spark, sf_dir):
 def html_main_content(spark, sf_dir):
     """HTML boilerplate strip (native expression twin): wrap each document in
     markup with link-dense nav/footer boilerplate, extract main content, and
-    verify only the real text survives (rows-only: RE2 can't mirror the
-    lazy/dotall tag patterns faithfully)."""
+    verify only the real text survives.  RE2 DOES support the lazy/dotall
+    patterns (no backrefs/lookarounds needed), so the whole rule has an exact
+    DuckDB twin (_html_main_sql) — verified block-for-block."""
     from .functions.html import extract_main_text_expr
 
     d = load(spark, sf_dir, "documents")
@@ -822,6 +889,58 @@ def html_main_content(spark, sf_dir):
         .alias("boilerplate_free"))
 
 
+def _html_main_sql() -> str:
+    """DuckDB twin of the frozen HTML rule (functions/html.py) applied to the
+    same synthetic wrapper: drop script/style/comments → split on block-close
+    tags/<br> → per block strip tags, unescape entities, collapse whitespace →
+    keep len>=25 & link density <=0.33 → join with newlines.
+
+    The coalesce() around the anchor concat matters: inside a DuckDB list
+    comprehension, array_to_string of a no-match extract yields NULL, which
+    would silently drop link-free blocks.
+    """
+    from .functions.html import _ENTITIES
+
+    pre = ("<html><body><div><a href=''/''>Home</a> <a href=''/a''>About</a></div>"
+           "<script>var boiler = 1;</script><p>")
+    post = "</p><div><a href=''/t''>Terms</a></div></body></html>"
+    drop = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
+    sep = (r"(?i)<br\s*/?>|</(?:p|div|li|h1|h2|h3|h4|h5|h6|tr|td|section|article|header|"
+           r"footer|blockquote|table|ul|ol)\s*>")
+    anchors = (r"coalesce(array_to_string(regexp_extract_all(x,"
+               r" '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ''), '')")
+
+    def clean(col: str) -> str:
+        s = (f"trim(regexp_replace(regexp_replace({col}, '(?s)<[^>]*>', '', 'g'),"
+             f" '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
+        for ent, ch in _ENTITIES:
+            ch_sql = ch.replace("'", "''")
+            s = f"replace({s}, '{ent}', '{ch_sql}')"
+        return s
+
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace('{pre}' || text || '{post}', '{drop}', '', 'g'), '{sep}') AS blks
+  FROM documents
+), scored AS (
+  SELECT doc_id, [{{'t': {clean('x')}, 'l': {clean(anchors)}}} FOR x IN blks] AS sc FROM blocks
+), kept AS (
+  SELECT doc_id, list_transform(list_filter(sc,
+         s -> length(s.t) >= 25 AND CAST(length(s.l) AS DOUBLE) <= 0.33 * CAST(length(s.t) AS DOUBLE)),
+         s -> s.t) AS ks FROM scored
+), mains AS (
+  SELECT doc_id, CASE WHEN len(ks) > 0 THEN array_to_string(ks, chr(10)) || chr(10) ELSE '' END AS main
+  FROM kept
+)
+SELECT doc_id, CAST(length(main) AS INT) AS main_len,
+       CAST(len(regexp_extract_all(main, '{TS.PORTABLE_TOKEN_RE}')) AS INT) AS n_tokens,
+       (NOT contains(main, 'Home') AND NOT contains(main, 'Terms')
+        AND NOT contains(main, 'boiler')) AS boilerplate_free
+FROM mains
+"""
+
+
 def ocr_worst_pages(spark, sf_dir):
     """Worst-20 pages by quality score (SURVEY §2.6 sorts/top-k over the
     pipeline's own output; -1 sentinels excluded)."""
@@ -834,10 +953,65 @@ def ocr_worst_pages(spark, sf_dir):
 
 
 def media_features(spark, sf_dir):
+    """Media feature extraction (Arrow plumbing + deterministic sha256 stub).
+
+    The harness projection renders the float feature vector as a %.6f CSV
+    string — pandas canonicalization cannot sort list cells (r1's only red
+    row), and the fixed-point string is engine-exact, so the DuckDB twin can
+    RE-DERIVE every column from the golden media-span input via sha256.
+    """
     from .operators.media import extract_media_features, media_spans
 
-    return (extract_media_features(media_spans(_corpus_df(spark)))
+    df = extract_media_features(media_spans(_corpus_df(spark)))
+    feature_csv = F.array_join(
+        F.transform("feature", lambda x: F.format_string("%.6f", x.cast("double"))), ",")
+    return (df.select("doc_id", "media_ref", "media_kind", "byte_len", "content_sha",
+                      "width", "height", "n_frames",
+                      feature_csv.alias("feature_csv"), "decode_error")
             .orderBy("doc_id", "media_ref"))
+
+
+_GOLDEN_DIR = "/root/repo/fixtures/golden"
+
+
+def _media_sql() -> str:
+    """Re-derivation twin: DuckDB computes the SAME deterministic sha256-based
+    features from the golden media-span INPUT (fixtures/make_goldens.py) that
+    the Spark kernel computes via hashlib — independent implementations of the
+    stub spec (operators/media.py _fake_decode)."""
+    bytes_ = ",\n       ".join(
+        f"('0x' || substr(hx, {2 * i + 1}, 2))::INT AS b{i}" for i in range(8))
+    feats = ", ".join(f"printf('%.6f', round(b{i} / 255.0, 6))" for i in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id, media_ref, kind FROM '{_GOLDEN_DIR}/media_spans.parquet'
+), h AS (
+  SELECT doc_id, media_ref, kind, sha256(coalesce(media_ref, '')) AS hx FROM m
+), b AS (
+  SELECT doc_id, media_ref, kind, hx,
+       {bytes_}
+  FROM h
+)
+SELECT doc_id, media_ref, kind AS media_kind,
+       CAST(length(coalesce(media_ref, '')) AS BIGINT) AS byte_len,
+       CAST(('0x' || substr(hx, 1, 6))::BIGINT AS INT) AS content_sha,
+       CASE WHEN kind IN ('image', 'figure') THEN CAST(64 + b0 % 192 AS INT) END AS width,
+       CASE WHEN kind IN ('image', 'figure') THEN CAST(64 + b1 % 192 AS INT) END AS height,
+       CASE WHEN kind = 'video' THEN CAST(1 + b2 % 300 AS INT) END AS n_frames,
+       array_to_string([{feats}], ',') AS feature_csv,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM b ORDER BY doc_id, media_ref
+"""
+
+
+# Golden-oracle twins for the OCR pipeline itself: expectations derived from
+# the pure-Python oracle (tests/oracle.py) over the SAME pinned corpus
+# (gen_corpus(100, seed=42)) by fixtures/make_goldens.py — sf-independent.
+# tests/test_goldens_current.py re-derives and re-checks them every run.
+_OCR_SCORES_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_page_scores.parquet'"
+_OCR_SPANS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_spans_out.parquet'"
+_OCR_QUAR_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_quarantine.parquet'"
+_OCR_WORST_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_worst_pages.parquet'"
 
 
 # ---------------------------------------------------------------------------
@@ -881,6 +1055,7 @@ QUERIES: dict[str, Query] = {
     "events_daily_stats": events_daily_stats,
     "events_value_percentiles": events_value_percentiles,
     "events_approx_distinct": events_approx_distinct,
+    "events_distinct_users": events_distinct_users,
     "events_asof_last_signup": events_asof_last_signup,
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
@@ -928,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_counts": _PIVOT_SQL,
         "events_daily_stats": _DAILY_SQL,
         "events_value_percentiles": _PERCENTILES_SQL,
+        "events_distinct_users": _DISTINCT_USERS_SQL,
         "events_asof_last_signup": _ASOF_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_props_extract": _PROPS_SQL,
@@ -941,9 +1117,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": _MINHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,
+        "simhash_near_pairs": _simhash_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "html_main_content": _html_main_sql(),
+        "media_features": _media_sql(),
+        "ocr_page_scores": _OCR_SCORES_SQL,
+        "ocr_spans_out": _OCR_SPANS_SQL,
+        "ocr_quarantine": _OCR_QUAR_SQL,
+        "ocr_worst_pages": _OCR_WORST_SQL,
         "streaming_events_daily": _STREAMING_SQL,
-        # rows-only (non-SQL-expressible): simhash_near_pairs (xxhash64),
-        # lsh_ann_topk / embedding_near_dups (approximate by design),
-        # ocr_* + media_features (generated span corpus, custom semantics)
+        # rows-only by design: events_approx_distinct (HLL engine-specific),
+        # lsh_ann_topk / embedding_near_dups (approximate candidate sets).
+        # ocr_* twins are golden parquet derived from the pure-Python oracle
+        # (fixtures/make_goldens.py); everything else is re-derived in DuckDB.
     }

@@ -72,9 +72,12 @@ def test_simhash_identical_and_different(spark):
         [("x", "alpha beta gamma delta"), ("y", "alpha beta gamma delta"),
          ("z", "totally different words entirely unrelated")],
         "doc_id string, text string")
-    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    sig = {r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+           for r in simhash_signatures(docs).collect()}
     assert sig["x"] == sig["y"]
     assert sig["x"] != sig["z"]
+    for hi, lo in sig.values():  # 32-bit words, engine-portable range
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
 
 
 def test_lsh_ann_recall_vs_brute_force(spark, sf01_dir):

@@ -826,16 +826,90 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 def lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; rows-only check — approximate by design)."""
+    """LSH-bucketed ANN (scale path).  Approximate vs brute force, but fully
+    DETERMINISTIC (seeded hyperplanes, sequential double folds), so the whole
+    construction — buckets, candidate join, cosine, rank — has an exact DuckDB
+    twin with the plane constants inlined."""
     e = load(spark, sf_dir, "embeddings")
     return (SIM.lsh_ann_topk(e, _queries_df(spark, sf_dir), k=10)
             .orderBy("query_id", "rank"))
 
 
 def embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    """Embedding-cosine near-dup pairs via LSH buckets (same exact twin)."""
     return (SIM.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.5)
             .orderBy("vec_a", "vec_b"))
+
+
+def _lsh_fold(vec: str, consts: list[float]) -> str:
+    """DuckDB expression for the SAME left-to-right double fold Spark's
+    aggregate() runs: list_reduce starts from the first product, which is
+    IEEE-identical to Spark's 0.0 + p1 seed."""
+    lits = ", ".join(repr(c) for c in consts)  # repr round-trips doubles
+    return (f"list_reduce(list_transform(list_zip({vec}, [{lits}]::DOUBLE[]),"
+            f" x -> x[1] * x[2]), (acc, x) -> acc + x)")
+
+
+def _lsh_bucket_array(vec: str) -> str:
+    """unnest-able array of 't:bucket' keys matching similarity.lsh_bucket_keys
+    (8 tables x 4 planes, seed 42, dim 64 — the query defaults)."""
+    tables = SIM._lsh_tables(dim=64, n_tables=8, n_planes=4, seed=42)
+    keys = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"CASE WHEN {_lsh_fold(vec, p)} >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes))
+        keys.append(f"'{t}:' || CAST(({bits}) AS VARCHAR)")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+            f" (acc, x) -> acc + x)")
+
+
+def _lsh_ann_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), buckets AS (
+  SELECT vec_id, vec, unnest({_lsh_bucket_array('vec')}) AS bucket FROM v
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         q.vec AS qv, e.vec AS ev
+  FROM buckets e JOIN buckets q ON e.bucket = q.bucket
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'ev')} AS cos FROM cand
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cosine_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def _near_dups_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), buckets AS (
+  SELECT vec_id, vec, unnest({_lsh_bucket_array('vec')}) AS bucket FROM v
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vec AS va, b.vec AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b, {_cosine_sql('va', 'vb')} AS cos FROM cand
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= {threshold} ORDER BY vec_a, vec_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1119,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "simhash_near_pairs": _simhash_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "embedding_near_dups": _near_dups_sql(),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "ocr_page_scores": _OCR_SCORES_SQL,

@@ -93,6 +93,109 @@ print("BENCHJSON " + json.dumps(sorted(ts)))
     raise RuntimeError(f"pipeline subprocess failed for {master}:\n{out.stderr[-2000:]}")
 
 
+def _skew_corpus_path() -> str:
+    """Small corpus with EXTREME doc skew (4 docs carry 5000 spans each) so
+    the salted-vs-unsalted task-time distributions separate clearly."""
+    path = "/tmp/pageeval_bench_skewcorpus_v1.parquet"
+    if os.path.exists(path):
+        return path
+    from page_evaluator_spark.corpus import gen_corpus, write_corpus_parquet
+
+    docs = gen_corpus(2000, seed=7, skew_docs=4, skew_spans=5000)
+    write_corpus_parquet(path, docs, row_group_size=256)
+    return path
+
+
+def _skew_task_metrics(corpus: str, master: str) -> dict:
+    """p50/p99/max task millis of the parse stage, salted (production plan:
+    repartition on (doc_id, span_offset)) vs unsalted (doc_id alone — every
+    span of a hot doc lands on ONE task).  BASELINE.md protocol line 'p50/p99
+    task time (skew evidence, with and without salting)'.
+
+    Runs in a fresh JVM with the Spark event log enabled; task durations are
+    parsed from the event log (no listener plumbing needed)."""
+    import tempfile
+
+    evdir = tempfile.mkdtemp(prefix="pageeval_evlog_")
+    code = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from pyspark.sql import SparkSession
+from page_evaluator_spark.operators.parse import explode_docs, parse_spans
+from page_evaluator_spark.shipping import ensure_shipped
+
+spark = (SparkSession.builder.master({master!r})
+         .config("spark.sql.shuffle.partitions", "64")
+         .config("spark.sql.adaptive.enabled", "false")
+         .config("spark.eventLog.enabled", "true")
+         .config("spark.eventLog.compress", "false")
+         .config("spark.eventLog.dir", "file:{evdir}")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .getOrCreate())
+ensure_shipped(spark)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({corpus!r})
+spans = explode_docs(docs)
+# job 0 group: UNSALTED (doc_id-only repartition — hot docs serialize)
+spark.sparkContext.setJobGroup("unsalted", "unsalted")
+parse_spans(spans.repartition(64, "doc_id"), repartition=None) \\
+    .write.format("noop").mode("overwrite").save()
+# job 1 group: SALTED/PRODUCTION ((doc_id, span_offset) spreads hot docs)
+spark.sparkContext.setJobGroup("salted", "salted")
+parse_spans(spans, repartition=64) \\
+    .write.format("noop").mode("overwrite").save()
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                         timeout=1200)
+    if out.returncode != 0:
+        raise RuntimeError(f"skew subprocess failed:\n{out.stderr[-2000:]}")
+
+    # parse event log: map stages → jobs → job group, collect task durations
+    events = []
+    for root, _dirs, files in os.walk(evdir):  # Spark 4: rolling dir format
+        for name in files:
+            with open(os.path.join(root, name), errors="replace") as fh:
+                for line in fh:
+                    try:
+                        events.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    stage_group: dict[int, str] = {}
+    for e in events:
+        if e.get("Event") == "SparkListenerJobStart":
+            grp = (e.get("Properties") or {}).get("spark.jobGroup.id", "")
+            for sid in [s["Stage ID"] for s in e.get("Stage Infos", [])]:
+                stage_group[sid] = grp
+    durs: dict[str, dict[int, list[float]]] = {"unsalted": {}, "salted": {}}
+    for e in events:
+        if e.get("Event") == "SparkListenerTaskEnd":
+            sid = e["Stage ID"]
+            grp = stage_group.get(sid, "")
+            if grp in durs:
+                ti = e.get("Task Info", {})
+                durs[grp].setdefault(sid, []).append(
+                    float(ti["Finish Time"] - ti["Launch Time"]))
+
+    def q(v: list[float], p: float) -> float:
+        v = sorted(v)
+        return v[min(len(v) - 1, int(p * (len(v) - 1) + 0.5))]
+
+    result = {}
+    for grp, stages in durs.items():
+        # the parse stage = the stage with the largest total task time
+        tasks = max(stages.values(), key=lambda v: sum(v))
+        result[grp] = {"n_tasks": len(tasks),
+                       "p50_ms": round(q(tasks, 0.50), 1),
+                       "p99_ms": round(q(tasks, 0.99), 1),
+                       "max_ms": round(max(tasks), 1),
+                       "wall_proxy_ms": round(max(tasks), 1)}
+    result["p99_improvement"] = round(
+        result["unsalted"]["p99_ms"] / max(result["salted"]["p99_ms"], 1e-9), 2)
+    return result
+
+
 def main() -> None:
     corpus, n_docs = _corpus_path()
 
@@ -108,6 +211,12 @@ def main() -> None:
     eff_secondary = levels[8] / ((CPUS / 8) * levels[CPUS])
     pipeline["scaling_efficiency_2c_to_8c"] = round(eff_primary, 3)
     pipeline[f"scaling_efficiency_8c_to_{CPUS}c"] = round(eff_secondary, 3)
+
+    # --- skew evidence: p50/p99 task time with and without salting ---
+    try:
+        skew = _skew_task_metrics(_skew_corpus_path(), f"local[{min(CPUS, 16)}]")
+    except Exception as e:  # never fail the whole bench on the extra metric
+        skew = {"error": str(e)[:300]}
 
     # --- headline queries at full parallelism (in-process) ---
     from page_evaluator_spark.queries import QUERIES
@@ -140,6 +249,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pipeline": pipeline,
+        "skew_task_ms": skew,
     }))
 
 

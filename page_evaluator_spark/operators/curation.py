@@ -1,0 +1,116 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs on
+top of pair-wise dedup: duplicate CLUSTERS (connected components), canonical
+selection, deterministic stratified sampling, and token-budget packing.
+
+Scale notes:
+  * connected components — iterative min-label propagation on the candidate-
+    pair edge set (a driver loop of DataFrame joins, the standard Spark shape
+    for iterative graph algorithms).  Near-dup clusters are shallow (diameter
+    2-4 for boilerplate/dup families), so few iterations; each iteration is
+    one shuffle on the label join, lineage truncated via localCheckpoint so
+    plans don't grow unboundedly.  At adversarial scale swap in the
+    large-star/small-star variant (same join primitives, provably
+    O(log n) rounds).
+  * stratified sampling — deterministic md5-hash thresholding, NOT rand():
+    reproducible across runs, retries and cluster sizes, and exactly
+    re-derivable in SQL for the oracle.
+  * token-budget packing — sort by a stable key, prefix-sum token counts,
+    bin = cumsum div budget.  One window shuffle; bins can overflow by at
+    most one document (documented contract — exact greedy packing is
+    inherently sequential and not worth a single-threaded pass at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import PORTABLE_TOKEN_RE, minhash_lsh_candidates
+
+
+def doc_hash_bucket(col: Column, n: int = 100) -> Column:
+    """Deterministic bucket in [0, n): first 32 bits of md5 of the STRING id,
+    mod n — identical in DuckDB
+    (('0x' || substr(md5(CAST(x AS VARCHAR)),1,8))::BIGINT % n)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(src, dst) edge list → (doc_id, cluster_id) where cluster_id is the
+    MINIMUM doc_id reachable from the node (canonical representative).
+
+    Min-label propagation to fixpoint; every near-dup family collapses to one
+    deterministic canonical id regardless of partitioning or run order.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("node", "d2"),
+                        sym["d"] == F.col("d2"))
+               .select(F.col("s").alias("node"), "label"))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("node").agg(F.min("label").alias("label")))
+        new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
+        changed = (labels.withColumnRenamed("label", "old")
+                   .join(new_labels, "node")
+                   .where(F.col("old") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-dup clusters over the MinHash-LSH candidate pairs: every doc that
+    appears in a candidate pair, with its cluster's canonical (min) doc_id."""
+    pairs = minhash_lsh_candidates(docs, text_col=text_col, id_col=id_col)
+    return connected_components(pairs)
+
+
+def stratified_sample(docs: DataFrame, strata_col: str, rates: dict[str, int],
+                      default_pct: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5-bucket(id) < pct(stratum).  Rates are integer percents (0-100)."""
+    pct = F.lit(default_pct)
+    expr = None
+    for value, p in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        expr = F.when(cond, p) if expr is None else expr.when(cond, p)
+    pct = expr.otherwise(default_pct) if expr is not None else pct
+    return docs.where(doc_hash_bucket(F.col(id_col)) < pct)
+
+
+def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Assign docs to training-sequence bins of ~`budget` tokens.
+
+    SHARDED packing (a global ordered window would be one task at 100 TB):
+    docs hash into n_shards independent streams; within a shard, stable order
+    (doc_id), prefix-sum of regex token counts, local bin = (cumsum -
+    n_tokens) div budget; seq_id = shard * 10^9 + local bin.  A bin may
+    overflow by one doc (exact greedy packing is inherently sequential — the
+    per-shard prefix-sum is the scalable contract).
+    Returns (seq_id, n_docs, total_tokens).
+    """
+    from pyspark.sql import Window
+
+    from .skew import ensure_min_parallelism
+
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PORTABLE_TOKEN_RE), 0))
+    toks = (ensure_min_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    doc_hash_bucket(F.col(id_col), n_shards).alias("shard"),
+                    n_tok.cast("long").alias("n_tokens")))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn(
+        "seq_id",
+        F.col("shard") * F.lit(1_000_000_000)
+        + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget))
+    return (packed.groupBy("seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens")))

@@ -788,6 +788,138 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: dup clusters, sampling, packing, tf-idf
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs → canonical
+    (min) doc id per near-dup family.  Oracle: recursive-CTE transitive
+    closure over the SAME pair derivation."""
+    from .operators.curation import dedup_clusters as _cc
+
+    return _cc(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_CLUSTERS_SQL = ("WITH RECURSIVE " + _SHINGLE_CTE[len("WITH "):]) + r""",
+mh AS (
+  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
+  FROM mh GROUP BY doc_id, h // 4
+), prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs UNION SELECT doc_b, doc_a FROM prs
+), reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+_SAMPLE_RATES = {"en": 60, "de": 30}
+_SAMPLE_DEFAULT = 10
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic hash-thresholded stratified sampling (md5 bucket, not
+    rand() — reproducible across runs/retries/cluster sizes)."""
+    from .operators.curation import stratified_sample as _ss
+
+    d = load(spark, sf_dir, "documents")
+    return (_ss(d, "lang", _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _sample_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < (CASE {cases} ELSE {_SAMPLE_DEFAULT} END)
+ORDER BY doc_id
+"""
+
+
+def pack_token_budget(spark, sf_dir):
+    """Token-budget sequence packing (sharded prefix-sum bins)."""
+    from .operators.curation import pack_token_budget as _pp
+
+    return _pp(load(spark, sf_dir, "documents"), budget=512, n_shards=16).orderBy("seq_id")
+
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard * 1000000000 + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1 ORDER BY seq_id
+"""
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 terms per language by summed tf-idf (explode → two aggs →
+    broadcast-joined idf → per-lang top-k window)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TS.PORTABLE_TOKEN_RE), 0))
+        .alias("term"))
+    tf = toks.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # one scalar — fine to compute eagerly
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .withColumn("w", F.col("tf") * idf)
+              .groupBy("lang", "term").agg(F.sum("w").alias("score")))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= 5)
+            .select("lang", F.col("rank").cast("int").alias("rank"), "term",
+                    F.round("score", 6).alias("score"))
+            .orderBy("lang", "rank"))
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, term, sum(tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE))) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  GROUP BY lang, term
+)
+SELECT lang, CAST(rank AS INT) AS rank, term, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
@@ -1144,6 +1276,10 @@ QUERIES: dict[str, Query] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "ngram_jaccard": ngram_jaccard,
     "simhash_near_pairs": simhash_near_pairs,
+    "dedup_clusters": dedup_clusters,
+    "stratified_sample": stratified_sample,
+    "pack_token_budget": pack_token_budget,
+    "tfidf_top_terms": tfidf_top_terms,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "embedding_near_dups": embedding_near_dups,
@@ -1192,6 +1328,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _MINHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,
         "simhash_near_pairs": _simhash_sql(),
+        "dedup_clusters": _CLUSTERS_SQL,
+        "stratified_sample": _sample_sql(),
+        "pack_token_budget": _PACK_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -1,0 +1,79 @@
+"""Curation operators: connected components, stratified sampling, packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_connected_components_known_graph(spark):
+    from page_evaluator_spark.operators.curation import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"),          # chain a-b-c
+         ("x", "y"),                      # pair
+         ("p", "q"), ("q", "r"), ("r", "s"), ("p", "s")],  # cycle p-q-r-s
+        "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x",
+                   "p": "p", "q": "p", "r": "p", "s": "p"}
+
+
+def test_dedup_clusters_collapse_exact_dups(spark):
+    from page_evaluator_spark.operators.curation import dedup_clusters
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("a1", text), ("a2", text), ("a3", text),
+         ("z9", "completely different content nothing shared here at all")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    # the three exact dups collapse to the min id; the unrelated doc is not
+    # in any candidate pair and therefore absent
+    assert got == {"a1": "a1", "a2": "a1", "a3": "a1"}
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf01_dir):
+    from page_evaluator_spark.operators.curation import stratified_sample
+
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    rates = {"en": 60, "de": 30}
+    s1 = stratified_sample(d, "lang", rates, default_pct=10)
+    s2 = stratified_sample(d, "lang", rates, default_pct=10)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # deterministic, no rand()
+    kept = {r["lang"]: r["n"] for r in
+            s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: observed rate within a generous tolerance
+    assert 0.4 < kept["en"] / tot["en"] < 0.8
+    assert 0.15 < kept["de"] / tot["de"] < 0.45
+    for lang in ("fr", "es", "zh"):
+        assert kept.get(lang, 0) / tot[lang] < 0.25
+
+
+def test_pack_token_budget_bins_bounded(spark, sf01_dir):
+    from page_evaluator_spark.operators.curation import pack_token_budget
+
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    budget = 512
+    packed = pack_token_budget(d, budget=budget, n_shards=16).collect()
+    n_docs = d.count()
+    assert sum(r["n_docs"] for r in packed) == n_docs
+    # contract: every bin with >1 doc stays within budget + one overflowing doc;
+    # single-doc bins may be any size (a doc larger than the budget)
+    from pyspark.sql import functions as F2
+
+    max_doc = d.select(F2.size(F2.regexp_extract_all(
+        "text", F2.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"), 0)).alias("n")) \
+        .agg(F2.max("n")).collect()[0][0]
+    for r in packed:
+        if r["n_docs"] > 1:
+            assert r["total_tokens"] < budget + max_doc
+    # bin-count sanity: roughly total/budget bins (straddling docs can shorten
+    # a bin; giant docs can skip bins entirely — both bounded per shard)
+    total_tokens = sum(r["total_tokens"] for r in packed)
+    assert total_tokens // (budget + max_doc) <= len(packed)
+    assert len(packed) <= total_tokens // budget + 16  # ≤1 extra bin per shard

@@ -432,6 +432,35 @@ WHERE event_type = 'purchase'
 """
 
 
+def events_range_join(spark, sf_dir):
+    """Interval/range join: for every signup, purchases by the same user in
+    the following 7 days (equi-key on user_id + range predicate — Spark joins
+    on the key and evaluates the range inside the join, no cartesian)."""
+    ev = load(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("signup_id"), "user_id",
+                 F.col("ts").alias("signup_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"))
+    j = s.join(p, (s["user_id"] == p["p_user"])
+               & (p["p_ts"] >= s["signup_ts"])
+               & (p["p_ts"] < s["signup_ts"] + F.expr("INTERVAL 7 DAYS")), "left")
+    return (j.groupBy("signup_id")
+            .agg(F.count("p_ts").alias("n_purchases"),
+                 F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("purchase_value")))
+
+
+_RANGE_JOIN_SQL = """
+SELECT s.event_id AS signup_id,
+       count(p.ts) AS n_purchases,
+       round(coalesce(sum(p.value), 0.0), 2) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+GROUP BY s.event_id
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum."""
     ev = load(spark, sf_dir, "events")
@@ -1263,6 +1292,7 @@ QUERIES: dict[str, Query] = {
     "events_approx_distinct": events_approx_distinct,
     "events_distinct_users": events_distinct_users,
     "events_asof_last_signup": events_asof_last_signup,
+    "events_range_join": events_range_join,
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
     "events_props_json": events_props_json,
@@ -1315,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles": _PERCENTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
         "events_asof_last_signup": _ASOF_SQL,
+        "events_range_join": _RANGE_JOIN_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_props_extract": _PROPS_SQL,
         "events_props_json": _PROPS_JSON_SQL,

@@ -493,6 +493,40 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, Spark's SessionWindowing
+    operator — the same primitive Structured Streaming uses for session
+    aggregation).  Semantics: events within a 30-min gap merge; window end =
+    last event + gap.  Oracle re-derives sessions with lag + running sum."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def events_props_extract(spark, sf_dir):
     """Regex extraction from the JSON-ish props column + agg."""
     ev = load(spark, sf_dir, "events")
@@ -1294,6 +1328,7 @@ QUERIES: dict[str, Query] = {
     "events_asof_last_signup": events_asof_last_signup,
     "events_range_join": events_range_join,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_props_extract": events_props_extract,
     "events_props_json": events_props_json,
     "explode_doc_words": explode_doc_words,
@@ -1347,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_last_signup": _ASOF_SQL,
         "events_range_join": _RANGE_JOIN_SQL,
         "events_sessionize": _SESSION_SQL,
+        "events_session_window": _SESSION_WINDOW_SQL,
         "events_props_extract": _PROPS_SQL,
         "events_props_json": _PROPS_JSON_SQL,
         "explode_doc_words": _EXPLODE_SQL,

@@ -113,3 +113,35 @@ def test_native_txt_scorer_equals_standard(spark):
     # zero Python anywhere in the native plan
     plan = nat._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEval" not in plan
+
+
+def test_pack_token_budget_window_is_sharded(spark, sf_dir):
+    """The packing window must partition by shard — a global ordered window
+    would serialize 100 TB into one task."""
+    from page_evaluator_spark.operators.curation import pack_token_budget
+
+    df = pack_token_budget(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                           budget=512, n_shards=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # Spark renders a global window as 'Window [...], [ts ASC...]' with an
+    # EMPTY partition spec; the sharded one carries 'partitionBy' semantics
+    # visible as the shard expression inside the Window operator line
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("shard" in ln for ln in win_lines), win_lines
+
+
+def test_tfidf_idf_side_is_broadcast(spark, sf_dir):
+    from page_evaluator_spark.queries import tfidf_top_terms
+
+    df = tfidf_top_terms(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lexicon_join_is_broadcast(spark, sf_dir):
+    from page_evaluator_spark.queries import lexicon_match_rate
+
+    df = lexicon_match_rate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan

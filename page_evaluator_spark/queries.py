@@ -527,6 +527,36 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) windows: 7-day windows advancing by 1 day — each
+    event lands in 7 overlapping windows (F.window with a slide).  Oracle
+    re-derives windows via generate_series + range join."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "7 days", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "event_type", "n", "sum_value"))
+
+
+# Spark aligns hopping windows to the epoch: a timestamp t belongs to windows
+# starting at every slide boundary in (t - size, t].  Re-derived with a
+# 7-step series per event (size/slide = 7).
+_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         to_timestamp(floor(epoch(ts) / 86400) * 86400)::TIMESTAMP AS day0
+  FROM events
+), expanded AS (
+  SELECT event_type, value,
+         day0 - to_days(CAST(k AS INT)) AS win_start
+  FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+)
+SELECT win_start, win_start + INTERVAL 7 DAY AS win_end, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY 1, 2, 3
+"""
+
+
 def events_props_extract(spark, sf_dir):
     """Regex extraction from the JSON-ish props column + agg."""
     ev = load(spark, sf_dir, "events")
@@ -1329,6 +1359,7 @@ QUERIES: dict[str, Query] = {
     "events_range_join": events_range_join,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
+    "events_hopping_window": events_hopping_window,
     "events_props_extract": events_props_extract,
     "events_props_json": events_props_json,
     "explode_doc_words": explode_doc_words,
@@ -1383,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _RANGE_JOIN_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_session_window": _SESSION_WINDOW_SQL,
+        "events_hopping_window": _HOPPING_SQL,
         "events_props_extract": _PROPS_SQL,
         "events_props_json": _PROPS_JSON_SQL,
         "explode_doc_words": _EXPLODE_SQL,

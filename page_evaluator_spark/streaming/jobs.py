@@ -72,6 +72,36 @@ def run_scores_stream(spark: SparkSession, docs_path: str,
     return spark.table(name)
 
 
+def run_session_windows_stream(spark: SparkSession, events_path: str,
+                               gap: str = "30 minutes",
+                               watermark: str = "1 day") -> DataFrame:
+    """Streaming session windows: the native SessionWindowing operator under a
+    watermark, append mode — only sessions CLOSED by the watermark are
+    emitted, matching the batch events_session_window query on closed
+    sessions (pinned by test)."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", os.path.basename(events_path))
+              .load(os.path.dirname(events_path)))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("win"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"session_windows_{uuid.uuid4().hex[:8]}"
+    q = (agg.select("user_id", F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"), "n_events", "sum_value")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stateful_first_seen(spark: SparkSession, docs_path: str,
                             checkpoint_dir: str, out_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:

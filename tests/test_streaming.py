@@ -110,3 +110,31 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     new_hashes = set(rows2) - set(rows1)
     assert len(new_hashes) == 1
     assert rows2[new_hashes.pop()] == "d5"
+
+
+def test_streaming_session_windows_match_batch_closed_sessions(spark, sf_dir):
+    """Native session windows under a watermark: every emitted (closed)
+    session must equal the batch session_window result for that key, and
+    trailing open sessions must be withheld."""
+    from page_evaluator_spark.streaming.jobs import run_session_windows_stream
+
+    got = run_session_windows_stream(spark, f"{sf_dir}/events.parquet",
+                                     gap="30 minutes", watermark="1 day")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    batch = (ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("win"))
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select("user_id", F.col("win.start").alias("session_start"),
+                     F.col("win.end").alias("session_end"), "n_events", "sum_value"))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g, "no sessions emitted"
+    assert g <= b, "streaming emitted a session batch does not have"
+    withheld = b - g
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    # only sessions still open under the watermark may be withheld
+    for row in withheld:
+        assert (max_ts - row[2]) <= datetime.timedelta(days=1), row

@@ -64,8 +64,16 @@ def _corpus_path() -> tuple[str, int]:
     return path, len(docs)
 
 
-def _pipeline_subprocess(master: str, corpus: str) -> float:
-    """Run the full pipeline (scores + spans_out → noop) in a fresh JVM."""
+def _pipeline_subprocess(master: str, corpus: str, cache_parsed: bool = False,
+                         runs: int = 2) -> float:
+    """Run the full pipeline (scores + spans_out → noop) in a fresh JVM.
+
+    cache_parsed=False re-runs the parse per output branch (the r1-comparable
+    scaling workload: ~2x the parallel compute, so fixed overheads amortize
+    and the N→4N signal is clean).  cache_parsed=True is the PRODUCTION
+    configuration (plans/incremental.py): one parse pass shared by both
+    branches — measured separately as the headline wall time.
+    """
     code = f"""
 import sys, time, json
 sys.path.insert(0, {str(REPO)!r})
@@ -74,11 +82,16 @@ from page_evaluator_spark.plans.pipeline import evaluate_documents
 spark = get_spark(master={master!r}); spark.sparkContext.setLogLevel("ERROR")
 def sink(df): df.write.format("noop").mode("overwrite").save()
 def run():
-    out = evaluate_documents(spark.read.parquet({corpus!r}), repartition={REPARTITION})
-    sink(out.page_scores); sink(out.spans_out)
+    out = evaluate_documents(spark.read.parquet({corpus!r}), repartition={REPARTITION},
+                             cache_parsed={cache_parsed})
+    try:
+        sink(out.page_scores); sink(out.spans_out)
+    finally:
+        if {cache_parsed}:
+            out.parsed.unpersist()
 run()
 ts = []
-for _ in range(2):
+for _ in range({runs}):
     t0 = time.perf_counter(); run(); ts.append(time.perf_counter() - t0)
 print("BENCHJSON " + json.dumps(sorted(ts)))
 """
@@ -199,7 +212,7 @@ spark.stop()
 def main() -> None:
     corpus, n_docs = _corpus_path()
 
-    # --- scaling evidence (fresh JVM per level) ---
+    # --- scaling evidence (fresh JVM per level; uncached = r1-comparable) ---
     levels = {2: None, 8: None, CPUS: None}
     for cores in levels:
         levels[cores] = _pipeline_subprocess(f"local[{cores}]", corpus)
@@ -207,6 +220,11 @@ def main() -> None:
     for cores, sec in levels.items():
         pipeline[f"sec_{cores}c"] = round(sec, 3)
         pipeline[f"pages_per_sec_{cores}c"] = round(n_docs / sec, 1)
+    # production config (shared parse via cache, plans/incremental.py) at full
+    # parallelism — the deployment headline
+    cached = _pipeline_subprocess(f"local[{CPUS}]", corpus, cache_parsed=True)
+    pipeline[f"sec_{CPUS}c_prod_cached"] = round(cached, 3)
+    pipeline[f"pages_per_sec_{CPUS}c_prod_cached"] = round(n_docs / cached, 1)
     eff_primary = levels[2] / (4 * levels[8])
     eff_secondary = levels[8] / ((CPUS / 8) * levels[CPUS])
     pipeline["scaling_efficiency_2c_to_8c"] = round(eff_primary, 3)

@@ -145,3 +145,46 @@ def test_lexicon_join_is_broadcast(spark, sf_dir):
     df = lexicon_match_rate(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key lets the join run with ZERO
+    exchanges — the co-located-join strategy the 100 TB posture prescribes
+    (SURVEY §4: pre-bucket fact tables on their join keys)."""
+    import pyspark.sql.functions as F2
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    try:
+        # disable broadcast so the test exercises the bucketed path, and AQE
+        # coalescing so bucket layout is preserved
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table("b_orders")
+                  .join(spark.table("b_lineitem"),
+                        F2.col("o_orderkey") == F2.col("l_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(F2.count("*").alias("n")))
+        rows = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]  # AQE appends the pre-plan
+        assert "Bucketed: true" in plan
+        # the JOIN itself must consume bucket layout directly: no Exchange may
+        # appear below the join (the agg above it may still shuffle)
+        join_part = plan[plan.index("Join"):] if "Join" in plan else plan
+        assert "Exchange" not in join_part, join_part[:1500]
+        # sanity vs the unbucketed result
+        exp = {r["o_orderpriority"]: r["n"] for r in
+               orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+               .groupBy("o_orderpriority").agg(F2.count("*").alias("n")).collect()}
+        assert rows == exp
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -965,8 +965,14 @@ FROM c GROUP BY 1 ORDER BY seq_id
 
 
 def tfidf_top_terms(spark, sf_dir):
-    """Top-5 terms per language by summed tf-idf (explode → two aggs →
-    broadcast-joined idf → per-lang top-k window)."""
+    """Top-5 terms per language by summed tf-idf.
+
+    Single scan: explode → tf agg → document-frequency via a COUNT window
+    partitioned by term (tf rows are unique per (doc, term), so the window
+    count IS df — no second scan, no join) → per-lang top-k window.
+    """
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang",
@@ -974,13 +980,10 @@ def tfidf_top_terms(spark, sf_dir):
         .alias("term"))
     tf = toks.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
     n_docs = d.count()  # one scalar — fine to compute eagerly
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-    scored = (tf.join(F.broadcast(df_), "term")
-              .withColumn("w", F.col("tf") * idf)
+    df_ = F.count("*").over(Window.partitionBy("term"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (df_ + 1))
+    scored = (tf.withColumn("w", F.col("tf") * idf)
               .groupBy("lang", "term").agg(F.sum("w").alias("score")))
-    from pyspark.sql import Window
-
     win = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= 5)

@@ -131,12 +131,16 @@ def test_pack_token_budget_window_is_sharded(spark, sf_dir):
     assert win_lines and all("shard" in ln for ln in win_lines), win_lines
 
 
-def test_tfidf_idf_side_is_broadcast(spark, sf_dir):
+def test_tfidf_single_scan_no_join(spark, sf_dir):
+    """df comes from a COUNT window over the tf relation — the plan must scan
+    documents ONCE and contain no join at all."""
     from page_evaluator_spark.queries import tfidf_top_terms
 
     df = tfidf_top_terms(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
 
 
 def test_lexicon_join_is_broadcast(spark, sf_dir):

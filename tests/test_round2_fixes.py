@@ -312,3 +312,34 @@ def test_incremental_staging_prunes_per_part(spark, tmp_path):
     n_docs = docs.count()
     assert runner.page_scores().count() == n_docs
     assert runner.page_scores().select("doc_id").distinct().count() == n_docs
+
+
+# hypothesis fuzz: title parsing (crash/no-crash AND parsed map) must agree
+# between the kernel and the oracle on arbitrary titles
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TITLE_ALPHABET = "ab1 ;\t_x\x1f "
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=_TITLE_ALPHABET, min_size=0, max_size=24))
+def test_title_props_fuzz_kernel_vs_oracle(title):
+    """Kernel and oracle must agree on crash/no-crash AND the parsed map for
+    arbitrary titles.  Both sides go through the SAME XML route (the DOM
+    normalizes tabs in attribute values to spaces, exactly like the
+    reference's parser), so compare _parse_hocr, not _title_props directly."""
+    if "<" in title or "&" in title or '"' in title:
+        return
+    xml = _hocr_with_title(title)
+    try:
+        _texts, _last, kprops, *_ = _parse_hocr(xml)
+        kernel, kernel_err = kprops[0], None
+    except ValueError as e:
+        kernel, kernel_err = None, str(e)
+    op = oracle.parse_hocr(xml)
+    if kernel_err is None:
+        assert op.error is None, (title, kernel_err, op.error)
+        assert op.tokens[0].props == kernel, title
+    else:
+        assert op.error is not None, (title, "kernel crashed, oracle did not")

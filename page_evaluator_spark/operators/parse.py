@@ -64,6 +64,13 @@ _LINE_SPLIT = regex.compile(r"\r\n|\r|\n")
 
 def _tokenize_txt(text: str) -> list[str]:
     """TxtPage.parse: reflow (:41-47) → dehyphenate (:50-52) → tokenize (:54)."""
+    if "\n" not in text and "\r" not in text:
+        # single-line fast path (readLine yields one line): trim; if empty the
+        # reflow emits nothing; no '-\n' can exist so dehyphenation is a no-op
+        ln = text.strip(_JAVA_TRIM)
+        if not ln:
+            return []
+        return [m.group(0) for m in _TOKEN.finditer(ln + "\n")]
     kept = [ln.strip(_JAVA_TRIM) for ln in _LINE_SPLIT.split(text)]
     body = "".join(ln + "\n" for ln in kept if ln)
     body = _HYPHEN_WORD.sub(r"\1\2\n", body)
@@ -97,9 +104,11 @@ def _title_props(title: str) -> dict[str, str]:
 
 def _parse_hocr(
     xml_text: str,
-) -> tuple[list[str], list[bool], list[dict[str, str]], str, str, list[str]]:
-    """→ (token_texts, is_last_on_line flags, per-token title props, page_id,
-    engine, capabilities).
+) -> tuple[list[str], list[bool], list[dict[str, str]], list[int], list[int],
+           str, str, list[str]]:
+    """→ (token_texts, is_last_on_line flags, per-token title props,
+    per-token line indices, per-token within-line indices, page_id, engine,
+    capabilities).
 
     Raises ValueError on anything the reference turns into PageParserException
     or a crash (missing ocr_page → NPE, HOCRPage.java:53-61; malformed title
@@ -128,14 +137,21 @@ def _parse_hocr(
     texts: list[str] = []
     last: list[bool] = []
     props: list[dict[str, str]] = []
+    lines: list[int] = []
+    toks: list[int] = []
+    li = -1
     for line in (e for e in page.iter() if e is not page and e.get("class") == "ocr_line"):
         words = [e for e in line.iter() if e is not line and e.get("class") == "ocrx_word"]
         n = len(words)  # zero-word lines skipped, HOCRTokenIterator.java:60-82
+        if n:
+            li += 1
         for i, w in enumerate(words):
             props.append(_title_props(w.get("title", "")))  # HOCRToken.java:20-29
             texts.append("".join(w.itertext()))  # getTextContent, HOCRToken.java:40-42
             last.append(i == n - 1)  # HOCRTokenIterator.java:45
-    return texts, last, props, page_id, engine, caps.split(" ")
+            lines.append(li)
+            toks.append(i)
+    return texts, last, props, lines, toks, page_id, engine, caps.split(" ")
 
 
 # --- the sequential fold, vectorized (OCRPage.java:38-49) --------------------
@@ -167,7 +183,8 @@ def join_hyphen_tokens(texts: list[str], is_last: list[bool]) -> list[str]:
             continue
         s = t[i][:-1] + t[i + 1] if join[i] else t[i]
         if s:  # OCRPage.java:48-49
-            out.append(unicodedata.normalize("NFC", s))  # frozen NFC rule (CANON_EQ)
+            # frozen NFC rule (CANON_EQ); identity on ASCII, skipped cheaply
+            out.append(s if s.isascii() else unicodedata.normalize("NFC", s))
     return out
 
 
@@ -186,11 +203,13 @@ def _fold_tokens(texts: list[str], is_last: list[bool]) -> tuple[list[str], list
         return [], []
     t = [s.strip(_JAVA_TRIM) for s in texts]
     _nfc = unicodedata.normalize
+    # NFC of pure-ASCII text is the identity; str.isascii is a cheap C check
+    # that skips the normalize call for the common case
     if not any(last and s.endswith("-") for s, last in zip(t, is_last)):
         out_t, out_i = [], []
         for i, s in enumerate(t):
             if s:
-                out_t.append(_nfc("NFC", s))
+                out_t.append(s if s.isascii() else _nfc("NFC", s))
                 out_i.append(i)
         return out_t, out_i
     out_t, out_i = [], []
@@ -204,7 +223,7 @@ def _fold_tokens(texts: list[str], is_last: list[bool]) -> tuple[list[str], list
         else:
             i += 1
         if s:
-            out_t.append(_nfc("NFC", s))
+            out_t.append(s if s.isascii() else _nfc("NFC", s))
             out_i.append(src)
     return out_t, out_i
 
@@ -291,19 +310,8 @@ def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 continue
             try:
                 if kind == "hocr":
-                    texts, last, tprops, page_id, engine, caps = _parse_hocr(text or "")
-                    # token provenance: line/tok indices in document order
-                    lines, toks = [], []
-                    li, ti = -1, 0
-                    prev_new = True
-                    for j in range(len(texts)):
-                        if prev_new:
-                            li += 1
-                            ti = 0
-                        lines.append(li)
-                        toks.append(ti)
-                        ti += 1
-                        prev_new = last[j]
+                    (texts, last, tprops, lines, toks,
+                     page_id, engine, caps) = _parse_hocr(text or "")
                     out.add(doc_id, span_offset, -1, "page", page_id=page_id,
                             engine=engine, caps=caps)
                     folded_t, src = _fold_tokens(texts, last)

@@ -36,12 +36,17 @@ def doc_hash_bucket(col: Column, n: int = 100) -> Column:
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 50) -> DataFrame:
     """(src, dst) edge list → (doc_id, cluster_id) where cluster_id is the
     MINIMUM doc_id reachable from the node (canonical representative).
 
-    Min-label propagation to fixpoint; every near-dup family collapses to one
-    deterministic canonical id regardless of partitioning or run order.
+    Min-label propagation WITH POINTER DOUBLING: each round a node takes the
+    min over (its label, its neighbors' labels, its label's label).  The
+    label-of-label jump halves remaining path lengths, so convergence is
+    O(log diameter) rounds — an adversarial million-node chain converges in
+    ~20 rounds where plain propagation needs a million.  Runs to a VERIFIED
+    fixpoint (raises rather than ever returning non-converged labels);
+    deterministic regardless of partitioning or run order.
     """
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
@@ -51,7 +56,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         nbr = (sym.join(labels.withColumnRenamed("node", "d2"),
                         sym["d"] == F.col("d2"))
                .select(F.col("s").alias("node"), "label"))
-        new_labels = (labels.unionByName(nbr)
+        # pointer doubling: label(label) — every node's label is itself a node
+        # (labels start as identity and only ever move to existing node ids)
+        jump = (labels.select("node", F.col("label").alias("mid"))
+                .join(labels.select(F.col("node").alias("mid"),
+                                    F.col("label").alias("jlabel")), "mid")
+                .select("node", F.col("jlabel").alias("label")))
+        new_labels = (labels.unionByName(nbr).unionByName(jump)
                       .groupBy("node").agg(F.min("label").alias("label")))
         new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
         changed = (labels.withColumnRenamed("label", "old")
@@ -59,8 +70,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                    .where(F.col("old") != F.col("label")).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        f"with pointer doubling this needs a component diameter > 2^{max_iter}")
 
 
 def dedup_clusters(docs: DataFrame, text_col: str = "text",

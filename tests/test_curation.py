@@ -77,3 +77,45 @@ def test_pack_token_budget_bins_bounded(spark, sf01_dir):
     total_tokens = sum(r["total_tokens"] for r in packed)
     assert total_tokens // (budget + max_doc) <= len(packed)
     assert len(packed) <= total_tokens // budget + 16  # ≤1 extra bin per shard
+
+
+def test_connected_components_vs_union_find_adversarial(spark):
+    """Ground-truth check vs union-find on random graphs, a 200-node chain
+    (diameter stress — pointer doubling must converge in O(log) rounds, and
+    plain propagation's old silent-non-convergence bug must stay dead), a
+    star and a cycle."""
+    import random
+
+    from page_evaluator_spark.operators.curation import connected_components
+
+    def uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(77)
+    cases = []
+    for _ in range(4):
+        n = rng.randint(5, 30)
+        nodes = [f"n{i:03d}" for i in range(n)]
+        cases.append([tuple(rng.sample(nodes, 2)) for _ in range(rng.randint(1, n))])
+    cases.append([(f"c{i:03d}", f"c{i + 1:03d}") for i in range(200)])
+    cases.append([(f"a{i}", f"a{i + 1}") for i in range(9)]
+                 + [("z0", f"z{i}") for i in range(1, 5)]
+                 + [("y0", "y1"), ("y1", "y2"), ("y2", "y0")])
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e})
+        exp = uf(edges, nodes)
+        pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == exp, f"edges={len(edges)}"

@@ -105,7 +105,9 @@ def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
     SHARDED packing (a global ordered window would be one task at 100 TB):
     docs hash into n_shards independent streams; within a shard, stable order
     (doc_id), prefix-sum of regex token counts, local bin = (cumsum -
-    n_tokens) div budget; seq_id = shard * 10^9 + local bin.  A bin may
+    n_tokens) div budget; seq_id = shard * 2^40 + local bin (2^40 bins/shard
+    ≈ 5×10^14 tokens per shard at budget 512 — no collision at any realistic
+    scale; raise n_shards, not the multiplier, beyond that).  A bin may
     overflow by one doc (exact greedy packing is inherently sequential — the
     per-shard prefix-sum is the scalable contract).
     Returns (seq_id, n_docs, total_tokens).
@@ -123,7 +125,7 @@ def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     packed = toks.withColumn(
         "seq_id",
-        F.col("shard") * F.lit(1_000_000_000)
+        F.col("shard") * F.lit(1 << 40)
         + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget))
     return (packed.groupBy("seq_id")
             .agg(F.count("*").alias("n_docs"),

@@ -958,7 +958,7 @@ WITH t AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT shard * 1000000000 + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+SELECT shard * 1099511627776 + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY 1 ORDER BY seq_id
 """

@@ -74,12 +74,30 @@ class IncrementalRunner:
     def _stage_docs(self, docs: DataFrame) -> DataFrame:
         """Write the input once, partitioned by _part, so per-part jobs prune
         to one directory instead of rescanning the full input (the parquet
-        stand-in for Iceberg bucket(n_parts, doc_id)).  Idempotent: reused on
-        resume when the staged write completed (_SUCCESS present)."""
+        stand-in for Iceberg bucket(n_parts, doc_id)).
+
+        Idempotent: reused on resume when the staged write completed
+        (_SUCCESS present) AND it was staged with the SAME n_parts — a resume
+        under a different --n-parts re-stages, since the old _part layout
+        would assign docs to the wrong parts.  (Resume semantics assume the
+        same logical input across invocations, as lineage does.)
+        """
+        import json
+
         staged = self._ref("staged_docs")
-        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        meta_path = os.path.join(self.out_dir, "_staging_meta.json")
+        ok = os.path.exists(os.path.join(staged, "_SUCCESS"))
+        if ok and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                ok = json.load(f).get("n_parts") == self.n_parts
+        else:
+            ok = False
+        if not ok:
             (docs.withColumn("_part", part_id_expr(self.n_parts))
                  .write.mode("overwrite").partitionBy("_part").parquet(staged))
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"n_parts": self.n_parts}, f)
         return self.spark.read.parquet(staged)
 
     # --- execution ---------------------------------------------------------

@@ -380,6 +380,17 @@ def events_approx_distinct(spark, sf_dir):
                  F.countDistinct("user_id").alias("exact_users")))
 
 
+def events_approx_percentiles(spark, sf_dir):
+    """Sketch-based percentiles (approx_percentile / KLL-ish) — engine-specific
+    like HLL, so rows-only; the error bound vs exact percentiles is asserted
+    in tests (the 100 TB path: sketches merge map-side, exact quantiles
+    don't)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("ap50"),
+                 F.percentile_approx("value", F.lit(0.99), F.lit(1000)).alias("ap99")))
+
+
 def events_distinct_users(spark, sf_dir):
     """Exact distinct-count twin of events_approx_distinct (VERDICT r1 #5:
     the exact column deserves its own oracle-checked row)."""
@@ -1356,6 +1367,7 @@ QUERIES: dict[str, Query] = {
     "pivot_event_counts": pivot_event_counts,
     "events_daily_stats": events_daily_stats,
     "events_value_percentiles": events_value_percentiles,
+    "events_approx_percentiles": events_approx_percentiles,
     "events_approx_distinct": events_approx_distinct,
     "events_distinct_users": events_distinct_users,
     "events_asof_last_signup": events_asof_last_signup,

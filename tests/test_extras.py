@@ -211,3 +211,22 @@ def test_entry_schema_stable(spark):
         "clean_one_nonalpha", "clean_two_nonalpha", "clean_3plus_nonalpha",
         "correctable_score", "quality_score"]
     assert df.count() > 0
+
+
+def test_approx_percentiles_error_bound(spark, sf01_dir):
+    """approx_percentile(accuracy=1000) must land within a tight rank error
+    of the exact interpolated percentiles on the events table."""
+    from page_evaluator_spark.queries import (
+        events_approx_percentiles,
+        events_value_percentiles,
+    )
+
+    ap = {r["event_type"]: (r["ap50"], r["ap99"])
+          for r in events_approx_percentiles(spark, sf01_dir).collect()}
+    ex = {r["event_type"]: (r["p50"], r["p99"])
+          for r in events_value_percentiles(spark, sf01_dir).collect()}
+    assert set(ap) == set(ex)
+    for et in ex:
+        for a, e in zip(ap[et], ex[et]):
+            spread = abs(e) + 1.0
+            assert abs(a - e) <= 0.15 * spread, (et, a, e)

@@ -192,3 +192,37 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join (enabled by session.py) must split a hot join key's
+    partition at runtime: one key carrying ~94% of the fact side produces
+    SortMergeJoin(skew=true) over an 'AQEShuffleRead ... skewed' reader."""
+    import pyspark.sql.functions as F2
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(300_000).select(F2.lit(0).alias("k"), F2.rand(seed=1).alias("v"))
+        cold = spark.range(20_000).select((F2.col("id") % 200 + 1).alias("k"),
+                                          F2.rand(seed=2).alias("v"))
+        dim = spark.range(201).select(F2.col("id").alias("k"), (F2.col("id") * 2).alias("w"))
+        j = hot.union(cold).join(dim, "k").select("k", "v", "w")
+        assert len(j.toPandas()) == 320_000  # finalizes THIS queryExecution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final[:1500]
+        assert "skewed" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

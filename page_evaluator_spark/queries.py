@@ -1026,6 +1026,112 @@ WHERE rank <= 5 ORDER BY lang, rank
 """
 
 
+def doc_pii_scan(spark, sf_dir):
+    """PII pattern scan (emails / URLs / phone-ish runs) — a redaction
+    pipeline's detection pass.  The synthetic corpus has no organic PII, so a
+    deterministic contact line is appended to every third document (keyed on
+    doc_id) before scanning; patterns are RE2/Java-portable (no backrefs)."""
+    d = load(spark, sf_dir, "documents")
+    enriched = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact u"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or http://ex.org/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" tel +1 (555) 010-"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    emails = F.size(F.regexp_extract_all(
+        enriched, F.lit(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"), 0))
+    urls = F.size(F.regexp_extract_all(enriched, F.lit(r"https?://[^ ]+"), 0))
+    phones = F.size(F.regexp_extract_all(
+        enriched, F.lit(r"\+?[0-9][0-9()\- ]{7,}[0-9]"), 0))
+    return d.select(
+        "doc_id",
+        emails.alias("n_emails"), urls.alias("n_urls"), phones.alias("n_phones"),
+        ((emails + urls + phones) > 0).alias("has_pii"))
+
+
+_PII_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or http://ex.org/p/' || CAST(doc_id AS VARCHAR)
+                   || ' tel +1 (555) 010-' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INT) AS n_phones,
+       (len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(t, 'https?://[^ ]+'))
+        + len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{7,}[0-9]'))) > 0 AS has_pii
+FROM enriched
+"""
+
+
+def curation_filter_audit(spark, sf_dir):
+    """Composed curation filter chain with an audit column: first failing
+    stage (too_short → low_quality → lang → exact-duplicate) or NULL when
+    kept — the shape of a real corpus-cleaning pass, one scan + one window."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    quality = TS.quality_score(F.col("text"))
+    canon = F.min("doc_id").over(
+        Window.partitionBy(F.md5(normalized_text(F.col("text")))))
+    staged = d.select("doc_id", "lang", n_tok.alias("n_tokens"),
+                      F.round(quality, 6).alias("quality"),
+                      canon.alias("canonical_id"))
+    reason = (F.when(F.col("n_tokens") < 10, "too_short")
+              .when(F.col("quality") < 0.4, "low_quality")
+              .when(~F.col("lang").isin("en", "de", "fr", "es"), "lang")
+              .when(F.col("doc_id") != F.col("canonical_id"), "duplicate"))
+    return (staged.withColumn("drop_reason", reason)
+            .withColumn("kept", F.col("drop_reason").isNull())
+            .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
+
+
+_FILTER_AUDIT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INT)
+           AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tok,
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+           AS canonical_id
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n_tokens, canonical_id,
+         round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+               + 0.3 * least(n_ws_tok / 20.0, 1.0)
+               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                     ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
+           AS quality
+  FROM base
+)
+SELECT doc_id, n_tokens, quality,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN quality < 0.4 THEN 'low_quality'
+            WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+            WHEN doc_id <> canonical_id THEN 'duplicate' END AS drop_reason,
+       (CASE WHEN n_tokens < 10 THEN 'too_short'
+             WHEN quality < 0.4 THEN 'low_quality'
+             WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+             WHEN doc_id <> canonical_id THEN 'duplicate' END) IS NULL AS kept
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1391,6 +1497,8 @@ QUERIES: dict[str, Query] = {
     "stratified_sample": stratified_sample,
     "pack_token_budget": pack_token_budget,
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_pii_scan": doc_pii_scan,
+    "curation_filter_audit": curation_filter_audit,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "embedding_near_dups": embedding_near_dups,
@@ -1446,6 +1554,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sample_sql(),
         "pack_token_budget": _PACK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "doc_pii_scan": _PII_SQL,
+        "curation_filter_audit": _FILTER_AUDIT_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "embedding_near_dups": _near_dups_sql(),

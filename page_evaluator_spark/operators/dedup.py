@@ -158,6 +158,44 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): rolling window minima over k-gram hashes — the brief's
+    'document fingerprinting (rolling hash)' operator, fully native.
+
+    Char k-grams of the normalized text → 32-bit md5-half hash per gram →
+    minimum of each w-window → sorted distinct selection.  Any two documents
+    sharing a run of ≥ k+w-1 chars share a fingerprint; the selection is
+    position-independent, so it's robust to reordering of unrelated parts.
+    Engine-portable (md5) — exact DuckDB twin in queries.py.
+
+    Returns (doc_id, fps array<long>).  DataFrame-level on purpose: the hash
+    array MUST be materialized behind an exchange before the window-min pass —
+    as one nested expression Catalyst inlines the array into every slice and
+    recomputes ~n_grams md5s PER WINDOW (measured 100× slower).  The shuffle
+    carries 8 bytes per char, linear.
+    """
+    t = normalized_text(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    # sequence endpoints clamped ≥ start (Spark's sequence(0,-1) counts DOWN);
+    # bogus gram hashes for short docs are discarded by the when() guards
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i + 1, F.lit(k))), 1, 8), 16, 10)
+        .cast("long"))
+    staged = (docs.select(F.col(id_col).alias("doc_id"),
+                          hashes.alias("hashes"), n_grams.alias("n_grams"))
+              .repartition("doc_id"))  # exchange = materialization boundary
+    n_wins = F.greatest(F.col("n_grams") - F.lit(w - 1), F.lit(0))
+    mins = F.transform(F.sequence(F.lit(0), F.greatest(n_wins - 1, F.lit(0))),
+                       lambda j: F.array_min(F.slice(F.col("hashes"), j + 1, w)))
+    sel = (F.when(F.col("n_grams") >= w, F.array_sort(F.array_distinct(mins)))
+           .when(F.col("n_grams") > 0, F.array(F.array_min(F.col("hashes"))))
+           .otherwise(F.array().cast("array<long>")))
+    return staged.select("doc_id", sel.alias("fps"))
+
+
 def _simhash_word(hashes: Column) -> Column:
     """32 bits of a SimHash word from an array of 32-bit token hashes.
 

@@ -1026,6 +1026,47 @@ WHERE rank <= 5 ORDER BY lang, rank
 """
 
 
+def doc_winnow_fp(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints — the MOSS scheme, native:
+    k-gram md5-half hashes → w-window minima → sorted distinct selection.
+    Projected as (count, digest) for the harness; the selection itself backs
+    shared-run detection at scale."""
+    from .operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=8, w=4)
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.md5(F.array_join(F.transform("fps", lambda x: x.cast("string")), ","))
+        .alias("fp_digest"))
+
+
+_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+), g AS (
+  SELECT doc_id, t, greatest(length(t) - 7, 0) AS n_grams FROM norm
+), h AS (
+  SELECT doc_id, n_grams, greatest(n_grams - 3, 0) AS n_wins,
+         [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
+          FOR i IN range(1, greatest(n_grams, 1) + 1)] AS hashes
+  FROM g
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN n_grams >= 4 THEN
+                list_sort(list_distinct([list_min(hashes[j:j+3])
+                                         FOR j IN range(1, n_wins + 1)]))
+              WHEN n_grams > 0 THEN [list_min(hashes)]
+              ELSE CAST([] AS BIGINT[]) END AS s
+  FROM h
+)
+SELECT doc_id, CAST(len(s) AS INT) AS n_fps,
+       md5(array_to_string([CAST(x AS VARCHAR) FOR x IN s], ',')) AS fp_digest
+FROM sel
+"""
+
+
 def doc_pii_scan(spark, sf_dir):
     """PII pattern scan (emails / URLs / phone-ish runs) — a redaction
     pipeline's detection pass.  The synthetic corpus has no organic PII, so a
@@ -1499,6 +1540,7 @@ QUERIES: dict[str, Query] = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_pii_scan": doc_pii_scan,
     "curation_filter_audit": curation_filter_audit,
+    "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "embedding_near_dups": embedding_near_dups,
@@ -1556,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,
+        "doc_winnow_fp": _WINNOW_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -92,6 +92,77 @@ def extract_media_features(media_rows: DataFrame, decode_stub: bool = True) -> D
     return media_rows.mapInPandas(kernel, schema=MEDIA_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = ("doc_id string, media_ref string, media_kind string, "
+                  "out_width int, out_height int, resized_sha string, decode_error string")
+
+FRAMES_SCHEMA = ("doc_id string, media_ref string, media_kind string, "
+                 "frame_idx int, frame_sha string")
+
+
+def resize_media(media_rows: DataFrame, width: int = 224, height: int = 224,
+                 decode_stub: bool = True) -> DataFrame:
+    """Resize kernel plumbing (brief: 'decode / feature-extract / resize /
+    frame-sample as Pandas UDFs over mapInPandas').  The pixel work is the
+    deterministic stub (no imaging libs in this container); the Arrow batch
+    shape, schema and partitioning are the real deployment surface —
+    a real deployment swaps ONLY the per-ref body."""
+    if not decode_stub:
+        _decode_real("", "image")  # raises NotImplementedError with guidance
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_ref", "media_kind",
+                                   "out_width", "out_height", "resized_sha",
+                                   "decode_error")}
+            for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["media_kind"].append(kind)
+                out["out_width"].append(width)
+                out["out_height"].append(height)
+                out["resized_sha"].append(
+                    hashlib.sha256(f"{ref or ''}|{width}x{height}".encode()).hexdigest())
+                out["decode_error"].append(None)
+            o = pd.DataFrame(out)
+            o["out_width"] = o["out_width"].astype("Int32")
+            o["out_height"] = o["out_height"].astype("Int32")
+            yield o
+
+    return media_rows.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_rows: DataFrame, every_n: int = 30,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+
+    Frame counts come from the same deterministic stub metadata the feature
+    kernel uses (video → 1 + sha[2] % 300 frames; stills → 1 frame), so the
+    fan-out shape — a 300-frame video becomes ~10 rows — is exercised for
+    real even though the decoded pixels are stubbed."""
+    if not decode_stub:
+        _decode_real("", "video")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_ref", "media_kind",
+                                   "frame_idx", "frame_sha")}
+            for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
+                h = hashlib.sha256((ref or "").encode()).digest()
+                n_frames = 1 + h[2] % 300 if kind == "video" else 1
+                for idx in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["media_kind"].append(kind)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha"].append(
+                        hashlib.sha256(f"{ref or ''}#frame{idx}".encode()).hexdigest())
+            o = pd.DataFrame(out)
+            o["frame_idx"] = o["frame_idx"].astype("Int32")
+            yield o
+
+    return media_rows.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
 def media_spans(docs: DataFrame) -> DataFrame:
     """Pull media spans out of the documents table (native explode + filter)."""
     from .parse import MEDIA_KINDS, explode_docs

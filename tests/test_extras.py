@@ -230,3 +230,48 @@ def test_approx_percentiles_error_bound(spark, sf01_dir):
         for a, e in zip(ap[et], ex[et]):
             spread = abs(e) + 1.0
             assert abs(a - e) <= 0.15 * spread, (et, a, e)
+
+
+def test_media_resize_and_frame_sample_plumbing(spark):
+    """Resize + frame-sample kernels: real Arrow dataflow, deterministic stub
+    bodies, video fan-out shape exercised via a synthetic video span."""
+    import pytest as _pt
+
+    from page_evaluator_spark.operators.media import (
+        extract_media_features,
+        media_spans,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = corpus_to_spark_df(spark, gen_corpus(15, seed=6))
+    rows = media_spans(docs)
+    resized = resize_media(rows, width=224, height=224).collect()
+    assert resized and all(r["out_width"] == 224 and r["decode_error"] is None
+                           for r in resized)
+    assert len({r["resized_sha"] for r in resized}) == len(
+        {(r["doc_id"], r["media_ref"]) for r in resized})  # per-ref deterministic
+
+    # synthetic video rows exercise the frame fan-out
+    vids = spark.createDataFrame(
+        [("v1", "vid://a", "video"), ("v2", "vid://b", "video"),
+         ("s1", "img://c", "image")],
+        "doc_id string, media_ref string, kind string")
+    frames = sample_frames(vids, every_n=30).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert per_doc["s1"] == [0]  # stills: one frame
+    for d in ("v1", "v2"):
+        idxs = sorted(per_doc[d])
+        assert idxs[0] == 0 and all(i % 30 == 0 for i in idxs)
+    import hashlib as _h
+
+    n_a = 1 + _h.sha256(b"vid://a").digest()[2] % 300
+    assert len(per_doc["v1"]) == (n_a + 29) // 30  # ceil(n_frames / 30)
+
+    # decode_stub=False raises the documented NotImplementedError
+    with _pt.raises(NotImplementedError):
+        resize_media(rows, decode_stub=False)
+    with _pt.raises(NotImplementedError):
+        sample_frames(vids, decode_stub=False)

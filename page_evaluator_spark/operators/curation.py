@@ -7,8 +7,9 @@ Scale notes:
     pair edge set (a driver loop of DataFrame joins, the standard Spark shape
     for iterative graph algorithms).  Near-dup clusters are shallow (diameter
     2-4 for boilerplate/dup families), so few iterations; each iteration is
-    one shuffle on the label join, lineage truncated via localCheckpoint so
-    plans don't grow unboundedly.  At adversarial scale swap in the
+    one shuffle on the label join, lineage truncated per round — reliable
+    checkpoint() when a checkpoint dir is configured (cluster-safe),
+    localCheckpoint() otherwise.  At adversarial scale swap in the
     large-star/small-star variant (same join primitives, provably
     O(log n) rounds).
   * stratified sampling — deterministic md5-hash thresholding, NOT rand():
@@ -47,7 +48,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     ~20 rounds where plain propagation needs a million.  Runs to a VERIFIED
     fixpoint (raises rather than ever returning non-converged labels);
     deterministic regardless of partitioning or run order.
+
+    Fault tolerance: per-round lineage truncation uses RELIABLE
+    ``checkpoint()`` (HDFS/object-store) whenever a checkpoint dir is
+    configured — ``localCheckpoint()`` stores blocks on executors, so on a
+    real cluster an executor loss mid-loop would kill the job (the truncated
+    lineage cannot recompute).  The local fallback only fires where no
+    checkpoint dir exists (single-box sandbox); at 100 TB set
+    ``spark.sparkContext.setCheckpointDir(...)`` and rounds become
+    individually recoverable.
     """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     labels = (sym.select(F.col("s").alias("node")).distinct()
@@ -64,7 +80,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 .select("node", F.col("jlabel").alias("label")))
         new_labels = (labels.unionByName(nbr).unionByName(jump)
                       .groupBy("node").agg(F.min("label").alias("label")))
-        new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
+        new_labels = _truncate(new_labels)  # reliable when a checkpoint dir is set
         changed = (labels.withColumnRenamed("label", "old")
                    .join(new_labels, "node")
                    .where(F.col("old") != F.col("label")).count())

@@ -978,9 +978,17 @@ FROM c GROUP BY 1 ORDER BY seq_id
 def tfidf_top_terms(spark, sf_dir):
     """Top-5 terms per language by summed tf-idf.
 
-    Single scan: explode → tf agg → document-frequency via a COUNT window
-    partitioned by term (tf rows are unique per (doc, term), so the window
-    count IS df — no second scan, no join) → per-lang top-k window.
+    Scale shape: explode → tf agg → document frequency as a map-side-combined
+    ``groupBy(term).count()`` AGGREGATE joined back onto tf.  NOT a
+    count-over-window partitioned by term: term frequencies are Zipfian, so a
+    window would funnel every tf row of a stopword into ONE task (AQE
+    skew-splits joins, never windows).  The df aggregate's output is
+    vocabulary-sized, and AQE turns the join into a broadcast when that
+    vocabulary fits / skew-splits it when it doesn't.  Catalyst prunes the df
+    branch to a distinct-agg over its own scan rather than reusing the wider
+    tf exchange (column pruning beats exchange reuse here); if the scan ever
+    dominates, persist tf or repartition-by-term to share one exchange at the
+    cost of map-side combine.
     """
     from pyspark.sql import Window
 
@@ -991,9 +999,11 @@ def tfidf_top_terms(spark, sf_dir):
         .alias("term"))
     tf = toks.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
     n_docs = d.count()  # one scalar — fine to compute eagerly
-    df_ = F.count("*").over(Window.partitionBy("term"))
-    idf = F.log(F.lit(float(n_docs + 1)) / (df_ + 1))
-    scored = (tf.withColumn("w", F.col("tf") * idf)
+    # tf rows are unique per (doc, term) ⇒ count(*) per term IS the doc freq
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("w", F.col("tf") * idf)
               .groupBy("lang", "term").agg(F.sum("w").alias("score")))
     win = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
     return (scored.withColumn("rank", F.row_number().over(win))

@@ -119,3 +119,28 @@ def test_connected_components_vs_union_find_adversarial(spark):
         pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
         got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
         assert got == exp, f"edges={len(edges)}"
+
+
+def test_connected_components_reliable_checkpoint_same_result(spark, tmp_path):
+    """VERDICT r2 #4: with a checkpoint dir configured the loop truncates
+    lineage via RELIABLE checkpoint() (cluster-survivable) and the labels are
+    identical to the localCheckpoint fallback."""
+    from page_evaluator_spark.operators.curation import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"),   # 5-chain
+         ("x", "y"), ("m", "n"), ("n", "o")],
+        "doc_a string, doc_b string")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # fallback path first
+    local = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {r["doc_id"]: r["cluster_id"]
+                    for r in connected_components(pairs).collect()}
+        import os
+        assert any(os.scandir(str(tmp_path / "ckpt")))  # checkpoint files written
+    finally:
+        sc.setCheckpointDir(None)
+    assert reliable == local == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                                 "x": "x", "y": "x", "m": "m", "n": "m", "o": "m"}

@@ -67,6 +67,17 @@ def tokenize_txt(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(SIMPLE_TOKENIZER_RE), 0)
 
 
+# A title segment the reference accepts: after Java-trim it still contains a
+# LITERAL space (HOCRToken.java:25 indexOf(" ") — tabs don't count), i.e. the
+# segment has nonws …  space … nonws.  A well-formed title is one-or-more such
+# segments ';'-joined, plus optional trailing ';'s (String.split drops ALL
+# trailing EMPTY segments, so "a 1;;;" is fine but "a 1; " crashes), OR a pure
+# ';'-run (";".split(";") is the EMPTY array → empty Properties, no crash).
+_TITLE_SEG_OK = "[^;]*[^;\\x00-\\x20][^;]* [^;]*[^;\\x00-\\x20][^;]*"
+TITLE_OK_RE = f"^{_TITLE_SEG_OK}(;{_TITLE_SEG_OK})*;*$"
+TITLE_EMPTY_RE = "^;+$"
+
+
 def hocr_title_to_map(title: Column) -> Column:
     """hOCR ``title`` attribute → MAP<STRING,STRING> (HOCRToken.java:20-29).
 
@@ -75,7 +86,15 @@ def hocr_title_to_map(title: Column) -> Column:
     space — Spark's str_to_map with a whitespace-absorbing pair delimiter
     (pair split is first-occurrence).  Properties are carried metadata, never
     used by the scoring cascade (SURVEY.md §2 P6).
+
+    Malformed titles the reference CRASHES on (StringIndexOutOfBounds:
+    empty title, leading/interior empty segment, whitespace-only trailing
+    segment, any segment without a post-trim space) return NULL — the native
+    crash-parity signal mirroring the kernel's ValueError → quarantine.
     """
     no_trailing = F.regexp_replace(title, "(;|[\\x00-\\x20])+$", "")
-    return F.str_to_map(F.regexp_replace(no_trailing, JAVA_TRIM_RE, ""),
-                        F.lit("[\\x00-\\x20]*;[\\x00-\\x20]*"), F.lit(" "))
+    parsed = F.str_to_map(F.regexp_replace(no_trailing, JAVA_TRIM_RE, ""),
+                          F.lit("[\\x00-\\x20]*;[\\x00-\\x20]*"), F.lit(" "))
+    empty = F.create_map().cast("map<string,string>")
+    return (F.when(title.rlike(TITLE_EMPTY_RE), empty)
+            .when(title.rlike(TITLE_OK_RE), parsed))

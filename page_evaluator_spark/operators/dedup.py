@@ -248,7 +248,16 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "d
                        max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit keys; pairs
     agreeing on ≥1 band are candidates, then exact Hamming filter.  Fully
-    expressible in ANSI SQL (md5 halves + bit ops) — see _SIMHASH_SQL twin."""
+    expressible in ANSI SQL (md5 halves + bit ops) — see _SIMHASH_SQL twin.
+
+    The banding is hardwired to 4×16 bits (the two 32-bit signature words
+    split at bit 16); a different n_bands would need a different word split,
+    so anything else is rejected rather than silently delivering 4-band
+    recall."""
+    if n_bands != 4:
+        raise ValueError(
+            f"simhash_near_pairs implements exactly 4 16-bit bands over the "
+            f"64-bit signature; got n_bands={n_bands}")
     sigs = simhash_signatures(docs, text_col, id_col)
     words = [F.col("sig_lo"), F.shiftright("sig_lo", 16), F.col("sig_hi"),
              F.shiftright("sig_hi", 16)]

@@ -65,19 +65,47 @@ def rebalance_spans(span_rows: DataFrame, n_parts: int | None = None,
     return out.drop("_salt")
 
 
-def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+# split-count memo: the partition probe (df.rdd.getNumPartitions) is a
+# driver-side plan→RDD conversion, wasteful to repeat for the same scan.
+# Keyed by a caller-supplied stable key (e.g. the parquet path) + min_parts;
+# scan splitting is deterministic for fixed files and session read confs.
+_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _probe_partitions(df: DataFrame) -> int:
+    """The expensive driver-side plan→RDD conversion, isolated for memoization
+    (and for tests to count)."""
+    return df.rdd.getNumPartitions()
+
+
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None,
+                           cache_key: str | None = None) -> DataFrame:
     """Round-robin rebalance when the scan yielded too few splits.
 
     Small files arrive as one partition (maxPartitionBytes ≫ file size), which
     serializes expression-heavy per-row work; at real scale inputs have many
     splits and this is a no-op.  One cheap shuffle of the raw rows buys full
     parallelism for everything downstream.
+
+    The partition probe is paid at most once per DataFrame object (results are
+    marked), and at most once per ``cache_key`` process-wide when one is given
+    — repeated ``load()``s of the same table never re-touch ``df.rdd``.
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
-        return df.repartition(min_parts)
-    return df
+    if getattr(df, "_pe_min_parallelism", 0) >= min_parts:
+        return df
+    if cache_key is not None:
+        key = (cache_key, min_parts)
+        n = _SCAN_PARTS_CACHE.get(key)
+        if n is None:
+            n = _probe_partitions(df)
+            _SCAN_PARTS_CACHE[key] = n
+    else:
+        n = _probe_partitions(df)
+    out = df.repartition(min_parts) if n < min_parts else df
+    out._pe_min_parallelism = min_parts  # idempotent re-calls skip the probe
+    return out
 
 
 def skewed_doc_ids(docs: DataFrame, threshold_bytes: int = 8 * 1024 * 1024) -> DataFrame:

@@ -53,7 +53,10 @@ def token_props(parsed: DataFrame) -> DataFrame:
     """Per-token hOCR title properties (HOCRToken.java:20-38): word rows with
     the parsed Properties map plus the two fields real hOCR users want —
     word confidence (x_wconf) and bounding box (bbox)."""
+    # cast via double: real engines (Tesseract) emit fractional confidences
+    # like '85.3', which a direct string→int cast would NULL out
     return (parsed.where((F.col("kind") == "word") & F.col("props").isNotNull())
             .select("doc_id", "span_offset", "pos", "text", "props",
-                    F.col("props").getItem("x_wconf").cast("int").alias("x_wconf"),
+                    F.col("props").getItem("x_wconf").cast("double").cast("int")
+                    .alias("x_wconf"),
                     F.col("props").getItem("bbox").alias("bbox")))

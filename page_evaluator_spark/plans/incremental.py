@@ -7,10 +7,12 @@ is processed as its own job whose outputs (page_scores, spans_out, quarantine)
 are appended atomically-per-part through the Catalog facade, followed by one
 lineage row carrying row-count metrics.  An interrupted run leaves complete
 parts committed; the next invocation anti-joins the lineage table and
-processes only the remainder (re-processing a part is idempotent: its commit
-directory / Iceberg snapshot is keyed by the PART alone, so a crash-orphaned
-partial commit is overwritten on retry, never duplicated — even when the
-retry runs under a fresh --run-id).
+processes only the remainder.  Re-processing a part is idempotent on BOTH
+backends — even when the retry runs under a fresh --run-id: the parquet
+emulation keys the commit directory by the PART alone (commit=part{N},
+mode=overwrite), and the Iceberg branch passes ``replace_where="part_id =
+{N}"`` so Catalog.append deletes the crash-orphaned rows of that part before
+appending (every output row carries a part_id column for exactly this).
 
 At 10^12 docs the input table would be bucketed by the same hash so each
 part-job prunes to its buckets instead of re-scanning (Iceberg
@@ -124,19 +126,24 @@ class IncrementalRunner:
             # Commit token derived from the PART, not the run id: if a prior
             # run crashed after appending outputs but before the lineage
             # commit, the part is still pending and re-processing OVERWRITES
-            # the orphaned commit=part{N} dir instead of appending a duplicate
-            # beside it — resume is idempotent even across fresh --run-ids.
+            # the orphaned commit=part{N} dir (parquet) / DELETEs-then-appends
+            # the part's rows (Iceberg, via replace_where) instead of
+            # duplicating them — resume is idempotent across fresh --run-ids.
             commit = f"part{part}"
+            owns = f"part_id = {part}"
             part_docs = docs_p.where(F.col("_part") == part).drop("_part")
             out = evaluate_documents(part_docs, repartition=self.repartition,
                                      cache_parsed=True)
             try:
                 scores = out.page_scores.withColumn("part_id", F.lit(part))
-                self.catalog.append(scores, self._ref("page_scores"), run_id=commit)
+                self.catalog.append(scores, self._ref("page_scores"), run_id=commit,
+                                    replace_where=owns)
                 self.catalog.append(out.spans_out.withColumn("part_id", F.lit(part)),
-                                    self._ref("spans_out"), run_id=commit)
+                                    self._ref("spans_out"), run_id=commit,
+                                    replace_where=owns)
                 self.catalog.append(out.quarantine.withColumn("part_id", F.lit(part)),
-                                    self._ref("quarantine"), run_id=commit)
+                                    self._ref("quarantine"), run_id=commit,
+                                    replace_where=owns)
                 agg = scores.agg(F.count("*").alias("n_docs"),
                                  F.sum("token_count").alias("n_tokens")).collect()[0]
             finally:
@@ -148,7 +155,8 @@ class IncrementalRunner:
             ).withColumn("committed_at", F.current_timestamp())
             # lineage commit LAST: a crash before this line leaves the part
             # uncommitted and it will be re-done (idempotent per-part dirs)
-            self.catalog.append(lineage_row, self.lineage_ref, run_id=commit)
+            self.catalog.append(lineage_row, self.lineage_ref, run_id=commit,
+                                replace_where=owns)
             done.append(part)
         return done
 

@@ -25,10 +25,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table in ("documents", "embeddings"):
         # expression-heavy per-row tables: don't let a single small-file scan
-        # split serialize regex/vector work (no-op when the scan has splits)
+        # split serialize regex/vector work (no-op when the scan has splits);
+        # cache_key memoizes the partition probe across repeated loads
         from .operators.skew import ensure_min_parallelism
 
-        df = ensure_min_parallelism(df)
+        df = ensure_min_parallelism(df, cache_key=f"{sf_dir}/{table}")
     return df
 
 
@@ -1441,7 +1442,11 @@ def media_features(spark, sf_dir):
             .orderBy("doc_id", "media_ref"))
 
 
-_GOLDEN_DIR = "/root/repo/fixtures/golden"
+# derived from the package location so the golden oracles work from any
+# checkout path (fixtures/ sits beside the package at the repo root)
+from pathlib import Path as _Path  # noqa: E402
+
+_GOLDEN_DIR = str(_Path(__file__).resolve().parent.parent / "fixtures" / "golden")
 
 
 def _media_sql() -> str:

@@ -53,10 +53,23 @@ class Catalog:
             return self.spark.read.parquet(ref)
         return self.spark.read.table(ref)
 
-    def append(self, df: DataFrame, ref: str, run_id: str | None = None) -> str:
-        """Append rows; returns a commit token (snapshot id / manifest path)."""
+    def append(self, df: DataFrame, ref: str, run_id: str | None = None,
+               replace_where: str | None = None) -> str:
+        """Append rows; returns a commit token (snapshot id / manifest path).
+
+        ``replace_where``: optional SQL predicate identifying the rows this
+        commit logically owns (e.g. ``part_id = 3``).  On the Iceberg branch a
+        ``DELETE FROM ref WHERE <predicate>`` runs before the append, so
+        re-processing after a crash between output-append and lineage-commit
+        REPLACES the orphaned rows instead of duplicating them — the Iceberg
+        equivalent of the parquet emulation's keyed ``commit=`` directory
+        overwrite.  Ignored on the parquet branch (run_id keying already makes
+        that path idempotent).
+        """
         tr = TableRef(ref)
         if not tr.is_path and _iceberg_available(self.spark, ref):
+            if replace_where and self.spark.catalog.tableExists(ref):
+                self.spark.sql(f"DELETE FROM {ref} WHERE {replace_where}")
             df.writeTo(ref).append()
             return f"iceberg-append:{ref}"
         # parquet emulation: each append is its own subdirectory + manifest,

@@ -68,5 +68,16 @@ def test_iceberg_write_read_roundtrip(tmp_path):
         cat.append(df, "smoke.db.scores")
         assert cat.read("smoke.db.scores").count() == 4
         assert cat.exists("smoke.db.scores")
+        # replace_where idempotency (incremental-runner resume contract):
+        # re-appending the rows a crashed part owns REPLACES, never duplicates
+        spark.sql("CREATE TABLE smoke.db.parts (doc_id STRING, part_id INT) USING iceberg")
+        pdf = spark.createDataFrame([("d1", 0), ("d2", 0), ("d3", 1)],
+                                    "doc_id string, part_id int")
+        cat.append(pdf, "smoke.db.parts", replace_where="part_id = 0")
+        retry = spark.createDataFrame([("d1", 0), ("d2", 0)], "doc_id string, part_id int")
+        cat.append(retry, "smoke.db.parts", replace_where="part_id = 0")
+        got = cat.read("smoke.db.parts")
+        assert got.count() == 3  # part 0 replaced (2 rows), part 1 untouched
+        assert got.where("part_id = 0").count() == 2
     finally:
         spark.stop()

@@ -252,11 +252,11 @@ def test_resume_overwrites_orphaned_partial_commit(spark, tmp_path):
     real_append = Catalog.append
     calls = {"n": 0}
 
-    def crashing_append(self, df, ref, run_id=None):
+    def crashing_append(self, df, ref, run_id=None, replace_where=None):
         if ref.endswith("lineage"):
             calls["n"] += 1
             raise RuntimeError("simulated crash before lineage commit")
-        return real_append(self, df, ref, run_id=run_id)
+        return real_append(self, df, ref, run_id=run_id, replace_where=replace_where)
 
     Catalog.append = crashing_append
     try:

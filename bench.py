@@ -254,9 +254,15 @@ def main() -> None:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
             run_query()  # warmup
-            t0 = time.perf_counter()
-            run_query()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            # min-of-2 timed runs: a single run is hostage to noisy-neighbor
+            # spikes on this shared host (BENCH_r02 read as a broad regression
+            # purely from one noisy window — VERDICT r2 #3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_query()
+                best = min(best, time.perf_counter() - t0)
+            qtimes[name] = round(best, 3)
         qtimes["ocr_pipeline"] = pipeline[f"sec_{CPUS}c"]
     finally:
         spark.stop()

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two tiers (SURVEY-mandated scale path):
+Three tiers (SURVEY-mandated scale path):
   * brute-force cosine top-k — the exactness baseline; broadcast the (small)
     query set, score every row, per-query top-k via window.  Linear scan,
     embarrassingly parallel, no shuffle except the final per-query top-k.
@@ -8,6 +8,11 @@ Two tiers (SURVEY-mandated scale path):
     is the bottleneck; hyperplane-LSH buckets shrink candidates to the probed
     buckets only.  Deterministic projections (seeded hash) so results are
     reproducible across runs/cluster sizes.
+  * IVF (inverted-file) ANN — the coarse-quantizer shape real vector stores
+    use: assign every vector to its nearest centroid ONCE (a pure projection
+    against broadcast/inlined centroids — zero shuffle), probe the nprobe
+    nearest cells per query, exact-score only those cells' members.  Candidate
+    fraction ≈ nprobe / n_cells of the corpus.
 
 All dot products are native (zip_with + aggregate fold, sequential
 left-to-right in doubles — deterministic, and co-expressible in SQL).
@@ -123,6 +128,80 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", "q_vec", "e_vec")
             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def _cosine_to_lit(vec: Column, const: list[float]) -> Column:
+    """cosine(vec, literal centroid) — same fold order as cosine()."""
+    c = F.array(*[F.lit(float(x)) for x in const])
+    return dot(vec, c) / (norm(vec) * norm(c))
+
+
+def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a PURE PROJECTION (no join, no shuffle):
+    array_min over (−cosine, cell_id) structs picks max-sim, ties → lowest
+    cell.  Centroids are inlined literals — at 100 TB the assignment pass is
+    embarrassingly parallel and codegen'd."""
+    structs = [F.struct((-_cosine_to_lit(vec, cv)).alias("negsim"),
+                        F.lit(int(cid)).alias("cell"))
+               for cid, cv in centroids]
+    return F.array_min(F.array(*structs))["cell"]
+
+
+def ivf_probe_cells_expr(vec: Column, centroids: list[tuple[int, list[float]]],
+                         nprobe: int) -> Column:
+    """The nprobe nearest cell ids (ordered best-first, ties → lowest cell)."""
+    structs = [F.struct((-_cosine_to_lit(vec, cv)).alias("negsim"),
+                        F.lit(int(cid)).alias("cell"))
+               for cid, cv in centroids]
+    ordered = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return F.transform(ordered, lambda s: s["cell"])
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_cells lowest-id vectors.
+
+    A tiny dimension-table collect (n_cells × dim floats — like the inlined
+    LSH hyperplanes, not a data collect).  Production would refine these with
+    k-means rounds (each round = one broadcast-assign projection + one
+    groupBy(cell) mean agg — the same primitives, omitted here so results stay
+    run-order-independent and SQL-re-derivable)."""
+    rows = (embeddings.where(F.col(id_col) < n_cells)
+            .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("v"))
+            .orderBy("cid").collect())
+    return [(r["cid"], [float(x) for x in r["v"]]) for r in rows]
+
+
+def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                 n_cells: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN top-k: nearest-cell assignment (zero-shuffle projection) →
+    probe nprobe cells per query → exact cosine within candidates → top-k.
+
+    The only wide operations touch CANDIDATES (≈ nprobe/n_cells of the data):
+    the cell join broadcasts the exploded query probes onto the assigned
+    corpus (no corpus shuffle), and the final top-k window sees only scored
+    candidates.  Fully deterministic → exact DuckDB twin."""
+    from .skew import ensure_min_parallelism
+
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    e = (ensure_min_parallelism(embeddings)
+         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
+         .withColumn("cell", ivf_cell_expr(F.col("e_vec"), cents)))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cell", F.explode(ivf_probe_cells_expr(F.col("q_vec"), cents, nprobe))))
+    cand = (e.join(q, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "q_vec", "e_vec"))
     scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("e_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))

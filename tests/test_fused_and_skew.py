@@ -131,16 +131,22 @@ def test_pack_token_budget_window_is_sharded(spark, sf_dir):
     assert win_lines and all("shard" in ln for ln in win_lines), win_lines
 
 
-def test_tfidf_single_scan_no_join(spark, sf_dir):
-    """df comes from a COUNT window over the tf relation — the plan must scan
-    documents ONCE and contain no join at all."""
+def test_tfidf_df_is_agg_join_not_term_window(spark, sf_dir):
+    """VERDICT r2 #2: document frequency must be a groupBy(term) AGGREGATE
+    joined back (map-side combined; AQE can broadcast or skew-split a join),
+    never a count window partitioned by term (one task per Zipfian hot term —
+    AQE cannot skew-split windows).  The only window allowed is the per-lang
+    top-k."""
     from page_evaluator_spark.queries import tfidf_top_terms
 
     df = tfidf_top_terms(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # AQE-final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    assert "Join" not in plan, plan[:2000]
-    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" in plan, plan[:2000]
+    assert "windowspecdefinition" in plan, "per-lang top-k window missing"
+    # a term-partitioned window renders as windowspecdefinition(term#N, ...)
+    assert "windowspecdefinition(term" not in plan, plan[:2000]
 
 
 def test_lexicon_join_is_broadcast(spark, sf_dir):

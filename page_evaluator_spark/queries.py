@@ -1754,8 +1754,11 @@ def oracle_sql() -> dict[str, str]:
         "ocr_quarantine": _OCR_QUAR_SQL,
         "ocr_worst_pages": _OCR_WORST_SQL,
         "streaming_events_daily": _STREAMING_SQL,
-        # rows-only by design: events_approx_distinct (HLL engine-specific),
-        # lsh_ann_topk / embedding_near_dups (approximate candidate sets).
-        # ocr_* twins are golden parquet derived from the pure-Python oracle
-        # (fixtures/make_goldens.py); everything else is re-derived in DuckDB.
+        # rows-only by design (the ONLY 2 of 58): events_approx_distinct and
+        # events_approx_percentiles — engine-specific sketches (HLL / KLL)
+        # whose exact outputs no other engine reproduces; each carries an
+        # error-bound test in tests/ instead.  ocr_* twins are golden parquet
+        # derived from the pure-Python oracle (fixtures/make_goldens.py);
+        # everything else — including all ANN/LSH/SimHash queries — is
+        # re-derived independently in DuckDB.
     }

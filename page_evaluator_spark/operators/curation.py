@@ -114,6 +114,34 @@ def stratified_sample(docs: DataFrame, strata_col: str, rates: dict[str, int],
     return docs.where(doc_hash_bucket(F.col(id_col)) < pct)
 
 
+def benchmark_contamination(docs: DataFrame, benchmark_grams: DataFrame,
+                            shingle_n: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Test-set decontamination scan: per document, how many of its distinct
+    token n-grams appear in a benchmark gram set (the GPT-3-style n-gram
+    overlap check a training pipeline runs before training).
+
+    Scale shape: the document side explodes its shingles as a PIPELINED
+    Generate (never shuffled raw — at 100 TB the gram stream exists only
+    inside map tasks); the benchmark set is evaluation-suite-sized →
+    broadcast, so matching happens map-side; the only shuffle carries one
+    partially-aggregated count row per doc.  Returns every input document:
+    (doc_id, n_contaminated, contaminated).
+    """
+    from .dedup import token_shingles
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(token_shingles(F.col(text_col), shingle_n)).alias("gram"))
+    bench = F.broadcast(benchmark_grams.select("gram").distinct()
+                        .withColumn("_hit", F.lit(1)))
+    return (grams.join(bench, "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int")
+                 .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Assign docs to training-sequence bins of ~`budget` tokens.

@@ -1149,6 +1149,37 @@ def curation_filter_audit(spark, sf_dir):
             .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
 
 
+def benchmark_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (GPT-3-style overlap check): every
+    37th document donates its 2 lexicographically-first 3-gram shingles as
+    the deterministic 'evaluation set'; each document reports how many of its
+    distinct shingles collide.  Doc grams stay map-side (pipelined explode +
+    broadcast bench join) — see operators/curation.benchmark_contamination."""
+    from .operators.curation import benchmark_contamination
+    from .operators.dedup import token_shingles
+
+    d = load(spark, sf_dir, "documents")
+    bench = (d.where(F.col("doc_id") % 37 == 0)
+             .select(F.explode(F.slice(token_shingles(F.col("text"), 3), 1, 2))
+                     .alias("gram")))
+    return benchmark_contamination(d, bench).orderBy("doc_id")
+
+
+_DECONTAM_SQL = _SHINGLE_CTE + r""",
+bench AS (
+  SELECT DISTINCT shingle AS gram FROM (
+    SELECT shingle, row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+    FROM shingles WHERE doc_id % 37 = 0) WHERE rn <= 2
+), hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM shingles s JOIN bench b ON s.shingle = b.gram GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS INT) AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 _FILTER_AUDIT_SQL = r"""
 WITH base AS (
   SELECT doc_id, lang, text,
@@ -1655,7 +1686,6 @@ QUERIES: dict[str, Query] = {
     "set_ops_customers": set_ops_customers,
     "anti_customers_no_orders": anti_customers_no_orders,
     "semi_suppliers_active": semi_suppliers_active,
-    "pivot_event_counts": pivot_event_counts,
     "events_daily_stats": events_daily_stats,
     "events_value_percentiles": events_value_percentiles,
     "events_distinct_users": events_distinct_users,
@@ -1665,6 +1695,7 @@ QUERIES: dict[str, Query] = {
     "events_session_window": events_session_window,
     "events_hopping_window": events_hopping_window,
     "explode_doc_words": explode_doc_words,
+    # (pivot moved past the window r3 — hash-green in both r1 and r2)
     # -- text analysis / curation / dedup / similarity --
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
@@ -1679,6 +1710,7 @@ QUERIES: dict[str, Query] = {
     "pack_token_budget": pack_token_budget,
     "doc_pii_scan": doc_pii_scan,
     "curation_filter_audit": curation_filter_audit,
+    "benchmark_decontaminate": benchmark_decontaminate,
     "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
@@ -1686,6 +1718,7 @@ QUERIES: dict[str, Query] = {
     "embedding_near_dups": embedding_near_dups,
     # ---- entries 51+ (past the driver's 50-row window; see policy above) ----
     "events_props_extract": events_props_extract,
+    "pivot_event_counts": pivot_event_counts,
     "window_running_revenue": window_running_revenue,
     "rollup_orders": rollup_orders,
     "orders_by_year_quarter": orders_by_year_quarter,
@@ -1740,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,
+        "benchmark_decontaminate": _DECONTAM_SQL,
         "doc_winnow_fp": _WINNOW_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),

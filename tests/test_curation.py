@@ -144,3 +144,27 @@ def test_connected_components_reliable_checkpoint_same_result(spark, tmp_path):
         sc.setCheckpointDir(None)
     assert reliable == local == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
                                  "x": "x", "y": "x", "m": "m", "n": "m", "o": "m"}
+
+
+def test_benchmark_contamination_counts_and_plan(spark):
+    """Decontamination scan (r3): known-gram overlap counts, every input doc
+    present (incl. zero-token docs), benchmark matched via BROADCAST join (the
+    doc-side gram stream must never shuffle raw)."""
+    from page_evaluator_spark.operators.curation import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps"),       # contains 'the quick brown'
+         ("d2", "quick brown fox sleeps"),          # contains 'quick brown fox'
+         ("d3", "entirely unrelated words here"),
+         ("d4", "")],                               # zero tokens
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("the quick brown",), ("quick brown fox",)], "gram string")
+    out = benchmark_contamination(docs, bench, shingle_n=3)
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"]) for r in out.collect()}
+    assert got == {"d1": (2, True),   # both benchmark grams occur in d1
+                   "d2": (1, True),
+                   "d3": (0, False),
+                   "d4": (0, False)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]

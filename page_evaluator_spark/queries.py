@@ -1149,6 +1149,91 @@ def curation_filter_audit(spark, sf_dir):
             .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition signals: duplicate-line fraction
+    (per-row native array ops — zero shuffle) and top-bigram fraction (the
+    scalable relational shape: pipelined bigram explode → partial-agg count →
+    per-doc max/sum).  `kept` applies the classic thresholds (dup lines < 30%,
+    top bigram < 20%).
+
+    At 100 TB the bigram stream exists only inside map tasks; the shuffle
+    carries partially-combined (doc, bigram) counts, then one row per doc.
+    """
+    d = load(spark, sf_dir, "documents")
+    lines = F.filter(F.transform(F.split("text", "\n"), F.trim),
+                     lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines)))
+                / n_lines.cast("double"), 6)).otherwise(0.0)
+    base = d.select("doc_id", dup_line_frac.alias("dup_line_frac"))
+
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TS.PORTABLE_TOKEN_RE), 0)
+    # guard: Spark sequence(0, -1) counts DOWN — short docs need an empty array
+    windows = F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                          lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    bigrams = F.when(F.size(toks) >= 2, windows).otherwise(
+        F.array().cast("array<string>"))
+    bg = (d.select("doc_id", F.explode(bigrams).alias("bg"))
+          .groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+          .groupBy("doc_id")
+          .agg(F.max("n").alias("top_bigram_n"),
+               F.sum("n").cast("bigint").alias("n_bigrams")))
+    out = (base.join(bg, "doc_id", "left")
+           .select("doc_id", "dup_line_frac",
+                   F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                   F.coalesce("top_bigram_n", F.lit(0)).cast("bigint")
+                   .alias("top_bigram_n")))
+    top_frac = F.when(F.col("n_bigrams") > 0,
+                      F.round(F.col("top_bigram_n") / F.col("n_bigrams")
+                              .cast("double"), 6)).otherwise(0.0)
+    return (out.withColumn("top_bigram_frac", top_frac)
+            .withColumn("kept", (F.col("dup_line_frac") < 0.3)
+                        & (F.col("top_bigram_frac") < 0.2))
+            .orderBy("doc_id"))
+
+
+_REPETITION_SQL = r"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents
+), linestats AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN round((len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)
+), bgc AS (
+  SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2
+), bgstats AS (
+  SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams FROM bgc GROUP BY 1
+)
+SELECT d.doc_id, l.dup_line_frac,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN coalesce(b.n_bigrams, 0) > 0
+            THEN round(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       (l.dup_line_frac < 0.3 AND
+        CASE WHEN coalesce(b.n_bigrams, 0) > 0
+             THEN round(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 6)
+             ELSE 0.0 END < 0.2) AS kept
+FROM documents d
+JOIN linestats l USING (doc_id)
+LEFT JOIN bgstats b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def benchmark_decontaminate(spark, sf_dir):
     """Benchmark n-gram decontamination (GPT-3-style overlap check): every
     37th document donates its 2 lexicographically-first 3-gram shingles as
@@ -1686,7 +1771,6 @@ QUERIES: dict[str, Query] = {
     "set_ops_customers": set_ops_customers,
     "anti_customers_no_orders": anti_customers_no_orders,
     "semi_suppliers_active": semi_suppliers_active,
-    "events_daily_stats": events_daily_stats,
     "events_value_percentiles": events_value_percentiles,
     "events_distinct_users": events_distinct_users,
     "events_asof_last_signup": events_asof_last_signup,
@@ -1699,6 +1783,7 @@ QUERIES: dict[str, Query] = {
     # -- text analysis / curation / dedup / similarity --
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
+    "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "lexicon_match_rate": lexicon_match_rate,
@@ -1719,6 +1804,7 @@ QUERIES: dict[str, Query] = {
     # ---- entries 51+ (past the driver's 50-row window; see policy above) ----
     "events_props_extract": events_props_extract,
     "pivot_event_counts": pivot_event_counts,
+    "events_daily_stats": events_daily_stats,
     "window_running_revenue": window_running_revenue,
     "rollup_orders": rollup_orders,
     "orders_by_year_quarter": orders_by_year_quarter,
@@ -1760,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_doc_words": _EXPLODE_SQL,
         "doc_token_counts": _TOKCOUNT_SQL,
         "doc_quality": _QUALITY_SQL,
+        "doc_repetition_stats": _REPETITION_SQL,
         "doc_lang_id": _langid_sql(),
         "doc_fingerprints": _FP_SQL,
         "lexicon_match_rate": _lexicon_sql(),

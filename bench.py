@@ -215,10 +215,12 @@ def main() -> None:
     # --- scaling evidence (fresh JVM per level; uncached = r1-comparable).
     # The 8c level gets an extra timed run: noise there skews the primary
     # efficiency ratio downward, while 2c noise only inflates it (safe side).
+    # The 32c level gets one too — it is the most noise-volatile on this box
+    # (±25% at constant plans, BASELINE.md r3) and each run costs only ~7 s.
     levels = {2: None, 8: None, CPUS: None}
     for cores in levels:
         levels[cores] = _pipeline_subprocess(f"local[{cores}]", corpus,
-                                             runs=3 if cores == 8 else 2)
+                                             runs=2 if cores == 2 else 3)
     pipeline: dict = {"n_docs": n_docs, "repartition": REPARTITION}
     for cores, sec in levels.items():
         pipeline[f"sec_{cores}c"] = round(sec, 3)

@@ -150,6 +150,42 @@ def run_stateful_first_seen(spark: SparkSession, docs_path: str,
     return spark.read.parquet(out_dir)
 
 
+def run_scores_stream_to_catalog(spark: SparkSession, docs_path: str,
+                                 checkpoint_dir: str, out_ref: str) -> DataFrame:
+    """Streaming page scoring into a Catalog table with EXACTLY-ONCE rows.
+
+    foreachBatch is the production sink pattern: each micro-batch runs the
+    full BATCH pipeline (no streaming agg state — a doc's spans arrive in one
+    file row, so per-batch scoring is complete), and the write is keyed by
+    batch_id through Catalog.append — commit=batch{N} directory overwrite on
+    parquet, DELETE `_batch_id = N` before append on Iceberg.  Structured
+    Streaming guarantees at-least-once batch replay after a crash between the
+    write and the checkpoint commit; an idempotent keyed write turns that
+    into exactly-once.  Restartable: keep the checkpoint and every invocation
+    scores only newly arrived files.
+    """
+    from ..operators.parse import explode_docs, parse_spans
+    from ..operators.score import score_pages
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scores = (score_pages(parse_spans(explode_docs(batch_df)))
+                  .withColumn("_batch_id", F.lit(batch_id)))
+        cat.append(scores, out_ref, run_id=f"batch{batch_id}",
+                   replace_where=f"_batch_id = {batch_id}")
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return cat.read(out_ref)
+
+
 def run_watermarked_event_windows(spark: SparkSession, events_path: str,
                                   window: str = "1 day",
                                   watermark: str = "2 days") -> DataFrame:

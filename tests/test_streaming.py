@@ -138,3 +138,45 @@ def test_streaming_session_windows_match_batch_closed_sessions(spark, sf_dir):
     # only sessions still open under the watermark may be withheld
     for row in withheld:
         assert (max_ts - row[2]) <= datetime.timedelta(days=1), row
+
+
+def test_streaming_catalog_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → Catalog sink (r3): restart from checkpoint scores only
+    NEW files; a replayed batch id REPLACES its rows instead of duplicating
+    (at-least-once delivery × idempotent keyed write = exactly-once)."""
+    from page_evaluator_spark.corpus import corpus_to_spark_df, gen_corpus
+    from page_evaluator_spark.sources.catalog import Catalog
+    from page_evaluator_spark.streaming.jobs import run_scores_stream_to_catalog
+
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "scores_table")
+    ckpt = str(tmp_path / "ckpt")
+    docs = gen_corpus(20, seed=21, include_fixtures=False)
+    corpus_to_spark_df(spark, docs[:12]).write.mode("append").parquet(land)
+
+    got1 = run_scores_stream_to_catalog(spark, land, ckpt, out)
+    ids1 = {r["doc_id"] for r in got1.select("doc_id").collect()}
+    assert len(ids1) == 12 and got1.count() == 12
+
+    # new files arrive; SAME checkpoint → only they are processed, no dups
+    corpus_to_spark_df(spark, docs[12:]).write.mode("append").parquet(land)
+    got2 = run_scores_stream_to_catalog(spark, land, ckpt, out)
+    assert got2.count() == 20
+    assert got2.select("doc_id").distinct().count() == 20
+
+    # crash-replay simulation: re-append a batch under an ALREADY-USED batch
+    # id — the keyed write must REPLACE that batch's rows, not add to them
+    cat = Catalog(spark)
+    batch_ids = [r["_batch_id"] for r in
+                 got2.select("_batch_id").distinct().collect()]
+    replay_id = batch_ids[0]
+    # a real replay RECOMPUTES the batch — materialize here so the write does
+    # not lazily read the very directory it overwrites
+    replay_pdf = got2.where(F.col("_batch_id") == replay_id).toPandas()
+    replay_rows = spark.createDataFrame(replay_pdf, got2.schema)
+    n_total = got2.count()
+    cat.append(replay_rows, out, run_id=f"batch{replay_id}",
+               replace_where=f"_batch_id = {replay_id}")
+    again = cat.read(out)
+    assert again.count() == n_total  # unchanged — replaced, not duplicated
+    assert again.select("doc_id").distinct().count() == 20

@@ -9,9 +9,10 @@ Scale notes:
     2-4 for boilerplate/dup families), so few iterations; each iteration is
     one shuffle on the label join, lineage truncated per round — reliable
     checkpoint() when a checkpoint dir is configured (cluster-safe),
-    localCheckpoint() otherwise.  At adversarial scale swap in the
-    large-star/small-star variant (same join primitives, provably
-    O(log n) rounds).
+    localCheckpoint() otherwise.  The large-star/small-star variant
+    (connected_components_star, provably O(log n) rounds with non-growing
+    edge sets) is implemented alongside for adversarial-diameter graphs —
+    both equivalence-pinned against union-find ground truth.
   * stratified sampling — deterministic md5-hash thresholding, NOT rand():
     reproducible across runs, retries and cluster sizes, and exactly
     re-derivable in SQL for the oracle.
@@ -91,6 +92,69 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         f"with pointer doubling this needs a component diameter > 2^{max_iter}")
+
+
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014) —
+    the adversarial-scale alternative to min-label propagation: provably
+    O(log n) rounds with edge-set size that never grows beyond the input.
+
+    large-star(u): link every strictly-greater neighbor of u to
+    m = min(Γ(u) ∪ {u});  small-star(u): link every ≤-neighbor and u itself
+    to the min of that set.  At fixpoint every component is a star centered
+    at its minimum node; labels read directly off the edges.  Each half-round
+    is one groupBy(min) + one join — the same shuffle primitives as the
+    pointer-doubling variant (equivalence-pinned by test), but with
+    per-round edge-count monotonicity that survives adversarial diameters.
+    """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (sym.groupBy("u").agg(F.min("v").alias("minv"))
+                .select("u", F.least(F.col("u"), F.col("minv")).alias("m")))
+
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+    for _ in range(max_iter):
+        sym = (edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+               .distinct())
+        # large-star
+        large = (sym.where(F.col("v") > F.col("u"))
+                 .join(_mins(sym), "u")
+                 .select(F.col("m").alias("u"), "v")
+                 .where(F.col("u") != F.col("v")).distinct())
+        sym2 = (large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+                .distinct())
+        # small-star over the ≤ neighborhood (plus u itself via least())
+        le = sym2.where(F.col("v") < F.col("u"))
+        small_m = (le.groupBy("u").agg(F.min("v").alias("minv"))
+                   .select("u", F.least(F.col("u"), F.col("minv")).alias("m")))
+        small = (le.join(small_m, "u")
+                 .select(F.col("m").alias("nu"), F.col("v"), F.col("u").alias("ou"))
+                 .select(F.explode(F.array(
+                     F.struct(F.col("nu").alias("u"), F.col("v").alias("v")),
+                     F.struct(F.col("nu").alias("u"), F.col("ou").alias("v")))).alias("e"))
+                 .select("e.u", "e.v")
+                 .where(F.col("u") != F.col("v")).distinct())
+        new_edges = _truncate(small)
+        changed = (new_edges.exceptAll(edges).count()
+                   + edges.exceptAll(new_edges).count())
+        edges = new_edges
+        if changed == 0:
+            # fixpoint: stars centered at component minima — (center, node)
+            nodes = edges.select(F.col("v").alias("doc_id"),
+                                 F.col("u").alias("cluster_id"))
+            centers = edges.select(F.col("u").alias("doc_id"),
+                                   F.col("u").alias("cluster_id")).distinct()
+            return nodes.unionByName(centers).distinct()
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds")
 
 
 def dedup_clusters(docs: DataFrame, text_col: str = "text",

@@ -119,3 +119,32 @@ def test_ensure_min_parallelism_memoizes_probe(spark, sf01_dir, monkeypatch):
     assert probes["n"] == 1
     skew.ensure_min_parallelism(spark.range(10).toDF("x"))  # unkeyed: probes
     assert probes["n"] == 2
+
+
+def test_native_title_map_fuzz_parity(spark):
+    """Seeded fuzz over the title grammar's awkward alphabet: the native twin
+    must return NULL exactly when the kernel raises, and the identical map
+    otherwise — for EVERY generated title, not just the hand-picked sets."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "x1", "bbox", "85.3", ";", " ", "  ", "\t", "\x0b",
+                ";;", "; ", " ;"]
+    titles = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
+              for _ in range(400)]
+    expected = {}
+    for t in titles:
+        try:
+            expected[t] = _title_props(t)
+        except ValueError:
+            expected[t] = None
+
+    from page_evaluator_spark.functions.textnorm import hocr_title_to_map
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(titles)],
+                               "i int, title string")
+    got = {r["i"]: r["m"] for r in
+           df.withColumn("m", hocr_title_to_map(F.col("title"))).collect()}
+    for i, t in enumerate(titles):
+        g = got[i] if got[i] is None else dict(got[i])
+        assert g == expected[t], f"{t!r}: native={g} kernel={expected[t]}"

@@ -206,6 +206,49 @@ def benchmark_contamination(docs: DataFrame, benchmark_grams: DataFrame,
             .withColumn("contaminated", F.col("n_contaminated") > 0))
 
 
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet/RefinedWeb-style inter-document boilerplate removal: a line whose
+    trimmed form appears in ≥ min_docs DISTINCT documents is stripped from
+    every document; whitespace-only lines always survive (they are structure,
+    not boilerplate).
+
+    Scale shape: line explode is pipelined; the frequency pass is a two-phase
+    count-distinct on md5(line) (the shuffle carries hashes, never text); the
+    frequent-line set is small relative to the corpus — AQE broadcasts the
+    membership join when it fits and skew-splits it when a web-scale corpus
+    makes it genuinely large (no forced broadcast hint for exactly that
+    reason); reconstruction is ONE doc_id shuffle carrying kept lines
+    (doc-sized groups, the spans_out pattern).  Returns every input document:
+    (doc_id, n_lines, n_removed, clean_text).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    key = F.md5(F.trim(F.col("line")))
+    nonempty = lines.where(F.trim("line") != "")
+    boiler = (nonempty.groupBy(key.alias("k"))
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .where(F.col("nd") >= min_docs)
+              .select("k", F.lit(True).alias("_boiler")))
+    kept = (lines.withColumn("k", key)
+            .join(boiler, "k", "left")
+            .where(F.col("_boiler").isNull() | (F.trim("line") == "")))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws("\n", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"])).alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Assign docs to training-sequence bins of ~`budget` tokens.

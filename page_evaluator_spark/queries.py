@@ -1234,6 +1234,62 @@ ORDER BY d.doc_id
 """
 
 
+def doc_boilerplate_strip(spark, sf_dir):
+    """Inter-document boilerplate-line removal (CCNet/RefinedWeb): lines whose
+    trimmed form appears in ≥3 distinct docs are stripped everywhere.  Two
+    deterministic footers are appended (every 2nd / every 3rd doc) so the op
+    provably fires; organic cross-doc repeats are stripped identically by both
+    engines.  clean_md5 pins the full reconstructed text byte-for-byte."""
+    from .operators.curation import remove_boilerplate_lines
+
+    d = load(spark, sf_dir, "documents")
+    base = F.when(F.col("doc_id") % 2 == 0,
+                  F.concat("text", F.lit("\nSubscribe to our newsletter today"))
+                  ).otherwise(F.col("text"))
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(base, F.lit("\nAll rights reserved"))).otherwise(base)
+    enriched = d.select("doc_id", t.alias("text"))
+    out = remove_boilerplate_lines(enriched, min_docs=3)
+    return (out.select("doc_id", "n_lines", "n_removed",
+                       F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+_BOILERPLATE_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN base || chr(10) || 'All rights reserved'
+              ELSE base END AS t
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || chr(10) || 'Subscribe to our newsletter today'
+                    ELSE text END AS base
+        FROM documents)
+), ls AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM enriched
+), rows_ AS (
+  SELECT doc_id, i AS pos, l[i] AS line
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls)
+), boiler AS (
+  SELECT trim(line) AS tl FROM rows_ WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+), kept AS (
+  SELECT r.doc_id, r.pos, r.line
+  FROM rows_ r LEFT JOIN boiler b ON trim(r.line) = b.tl
+  WHERE b.tl IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(len(l.l) AS INT) AS n_lines,
+       CAST(len(l.l) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+       md5(coalesce(r.clean, '')) AS clean_md5
+FROM ls l LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
 def benchmark_decontaminate(spark, sf_dir):
     """Benchmark n-gram decontamination (GPT-3-style overlap check): every
     37th document donates its 2 lexicographically-first 3-gram shingles as
@@ -1765,7 +1821,6 @@ QUERIES: dict[str, Query] = {
     "q5_region_revenue": q5_region_revenue,
     "broadcast_part_revenue": broadcast_part_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
-    "window_order_gaps": window_order_gaps,
     "grouping_sets_orders": grouping_sets_orders,
     "cube_events_dow": cube_events_dow,
     "set_ops_customers": set_ops_customers,
@@ -1796,6 +1851,7 @@ QUERIES: dict[str, Query] = {
     "doc_pii_scan": doc_pii_scan,
     "curation_filter_audit": curation_filter_audit,
     "benchmark_decontaminate": benchmark_decontaminate,
+    "doc_boilerplate_strip": doc_boilerplate_strip,
     "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
@@ -1803,6 +1859,7 @@ QUERIES: dict[str, Query] = {
     "embedding_near_dups": embedding_near_dups,
     # ---- entries 51+ (past the driver's 50-row window; see policy above) ----
     "events_props_extract": events_props_extract,
+    "window_order_gaps": window_order_gaps,
     "pivot_event_counts": pivot_event_counts,
     "events_daily_stats": events_daily_stats,
     "window_running_revenue": window_running_revenue,
@@ -1861,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,
         "benchmark_decontaminate": _DECONTAM_SQL,
+        "doc_boilerplate_strip": _BOILERPLATE_SQL,
         "doc_winnow_fp": _WINNOW_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),

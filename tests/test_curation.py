@@ -238,3 +238,30 @@ def test_connected_components_star_ground_truth(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components_star(pairs).collect()}
     assert got == want
+
+
+def test_remove_boilerplate_lines_known(spark):
+    """Inter-doc boilerplate removal (r3): a line in >= min_docs distinct docs
+    is stripped everywhere, whitespace-only lines survive, dup lines within
+    one doc don't trigger removal on their own, and reconstruction preserves
+    order."""
+    from page_evaluator_spark.operators.curation import remove_boilerplate_lines
+
+    footer = "(c) footer"
+    docs = spark.createDataFrame(
+        [("d1", f"alpha\n{footer}\nbeta"),
+         ("d2", f"{footer}\ngamma"),
+         ("d3", f"delta\n  {footer}  "),            # trimmed form matches
+         ("d4", "solo\nsolo\nsolo\n\nend"),         # intra-doc dups: 1 doc only
+         ("d5", footer)],                            # whole doc is boilerplate
+        "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert {d: (r["n_lines"], r["n_removed"], r["clean_text"])
+            for d, r in got.items()} == {
+        "d1": (3, 1, "alpha\nbeta"),
+        "d2": (2, 1, "gamma"),
+        "d3": (2, 1, "delta"),
+        "d4": (5, 0, "solo\nsolo\nsolo\n\nend"),    # blank line survives
+        "d5": (1, 1, ""),
+    }

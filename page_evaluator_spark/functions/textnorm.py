@@ -73,9 +73,11 @@ def tokenize_txt(text: Column) -> Column:
 # segments ';'-joined, plus optional trailing ';'s (String.split drops ALL
 # trailing EMPTY segments, so "a 1;;;" is fine but "a 1; " crashes), OR a pure
 # ';'-run (";".split(";") is the EMPTY array → empty Properties, no crash).
+# Anchored \A..\z, NOT ^..$: Java's $ matches before a final line terminator,
+# so "a 1;\n" (kernel crash: trailing segment trims to '') would slip through.
 _TITLE_SEG_OK = "[^;]*[^;\\x00-\\x20][^;]* [^;]*[^;\\x00-\\x20][^;]*"
-TITLE_OK_RE = f"^{_TITLE_SEG_OK}(;{_TITLE_SEG_OK})*;*$"
-TITLE_EMPTY_RE = "^;+$"
+TITLE_OK_RE = f"\\A{_TITLE_SEG_OK}(;{_TITLE_SEG_OK})*;*\\z"
+TITLE_EMPTY_RE = "\\A;+\\z"
 
 
 def hocr_title_to_map(title: Column) -> Column:
@@ -91,10 +93,28 @@ def hocr_title_to_map(title: Column) -> Column:
     empty title, leading/interior empty segment, whitespace-only trailing
     segment, any segment without a post-trim space) return NULL — the native
     crash-parity signal mirroring the kernel's ValueError → quarantine.
+
+    The map is assembled via map_from_entries over an explicitly
+    LAST-WINS-deduplicated entry array, NOT str_to_map: repeated keys
+    ("bbox …; bbox …") are legal for java.util.Properties (last put wins),
+    but map constructors under Spark's default mapKeyDedupPolicy=EXCEPTION
+    would abort the whole job on such a row, and this twin must not depend
+    on session configuration.
     """
     no_trailing = F.regexp_replace(title, "(;|[\\x00-\\x20])+$", "")
-    parsed = F.str_to_map(F.regexp_replace(no_trailing, JAVA_TRIM_RE, ""),
-                          F.lit("[\\x00-\\x20]*;[\\x00-\\x20]*"), F.lit(" "))
+    segs = F.split(F.regexp_replace(no_trailing, JAVA_TRIM_RE, ""), ";")
+    trimmed = F.transform(segs, lambda s: F.regexp_replace(s, JAVA_TRIM_RE, ""))
+    entries = F.transform(
+        trimmed,
+        lambda s: F.struct(
+            F.substring(s, 1, F.locate(" ", s) - 1).alias("k"),
+            F.substring(s, F.locate(" ", s) + 1, F.length(s)).alias("v")))
+    # Properties.put last-wins: drop an entry when the SAME key occurs later
+    last_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(F.slice(entries, i + 2, F.size(entries)),
+                               lambda x: x["k"] == e["k"]))
+    parsed = F.map_from_entries(last_wins)
     empty = F.create_map().cast("map<string,string>")
     return (F.when(title.rlike(TITLE_EMPTY_RE), empty)
             .when(title.rlike(TITLE_OK_RE), parsed))

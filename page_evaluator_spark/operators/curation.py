@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from .dedup import PORTABLE_TOKEN_RE, minhash_lsh_candidates
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms: RELIABLE
+    checkpoint() when a checkpoint dir is configured (executor-loss-safe on a
+    real cluster), localCheckpoint() as the no-dir single-box fallback."""
+    sc = df.sparkSession.sparkContext
+    return df.checkpoint() if sc.getCheckpointDir() is not None else df.localCheckpoint()
+
+
 def doc_hash_bucket(col: Column, n: int = 100) -> Column:
     """Deterministic bucket in [0, n): first 32 bits of md5 of the STRING id,
     mod n — identical in DuckDB
@@ -59,12 +67,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     ``spark.sparkContext.setCheckpointDir(...)`` and rounds become
     individually recoverable.
     """
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable else df.localCheckpoint()
-
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     labels = (sym.select(F.col("s").alias("node")).distinct()
@@ -81,7 +83,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 .select("node", F.col("jlabel").alias("label")))
         new_labels = (labels.unionByName(nbr).unionByName(jump)
                       .groupBy("node").agg(F.min("label").alias("label")))
-        new_labels = _truncate(new_labels)  # reliable when a checkpoint dir is set
+        new_labels = _truncate_lineage(new_labels)
         changed = (labels.withColumnRenamed("label", "old")
                    .join(new_labels, "node")
                    .where(F.col("old") != F.col("label")).count())
@@ -109,18 +111,13 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     pointer-doubling variant (equivalence-pinned by test), but with
     per-round edge-count monotonicity that survives adversarial diameters.
     """
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable else df.localCheckpoint()
-
     def _mins(sym: DataFrame) -> DataFrame:
         return (sym.groupBy("u").agg(F.min("v").alias("minv"))
                 .select("u", F.least(F.col("u"), F.col("minv")).alias("m")))
 
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .where(F.col("u") != F.col("v")).distinct())
+    n_edges = edges.count()
     for _ in range(max_iter):
         sym = (edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
                .distinct())
@@ -142,17 +139,28 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                      F.struct(F.col("nu").alias("u"), F.col("ou").alias("v")))).alias("e"))
                  .select("e.u", "e.v")
                  .where(F.col("u") != F.col("v")).distinct())
-        new_edges = _truncate(small)
-        changed = (new_edges.exceptAll(edges).count()
-                   + edges.exceptAll(new_edges).count())
+        new_edges = _truncate_lineage(small)
+        # both sets are distinct, so equal counts + empty one-sided diff
+        # imply set equality (halves the per-round convergence-check cost)
+        n_new = new_edges.count()
+        changed = (n_new != n_edges) or new_edges.exceptAll(edges).count() > 0
+        n_edges = n_new
         edges = new_edges
-        if changed == 0:
+        if not changed:
             # fixpoint: stars centered at component minima — (center, node)
             nodes = edges.select(F.col("v").alias("doc_id"),
                                  F.col("u").alias("cluster_id"))
             centers = edges.select(F.col("u").alias("doc_id"),
                                    F.col("u").alias("cluster_id")).distinct()
-            return nodes.unionByName(centers).distinct()
+            labels = nodes.unionByName(centers).distinct()
+            # self-loop-only nodes were dropped by the u != v entry filter but
+            # ARE labeled (with themselves) by connected_components — keep the
+            # two variants row-for-row interchangeable
+            all_nodes = (pairs.select(F.col(src).alias("doc_id"))
+                         .union(pairs.select(F.col(dst).alias("doc_id"))).distinct())
+            singletons = (all_nodes.join(labels, "doc_id", "left_anti")
+                          .withColumn("cluster_id", F.col("doc_id")))
+            return labels.unionByName(singletons)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds")
 

@@ -11,8 +11,9 @@ processes only the remainder.  Re-processing a part is idempotent on BOTH
 backends — even when the retry runs under a fresh --run-id: the parquet
 emulation keys the commit directory by the PART alone (commit=part{N},
 mode=overwrite), and the Iceberg branch passes ``replace_where="part_id =
-{N}"`` so Catalog.append deletes the crash-orphaned rows of that part before
-appending (every output row carries a part_id column for exactly this).
+{N}"`` so Catalog.append atomically overwrites the rows that part owns
+(one snapshot commit — every output row carries a part_id column for
+exactly this).
 
 At 10^12 docs the input table would be bucketed by the same hash so each
 part-job prunes to its buckets instead of re-scanning (Iceberg
@@ -126,9 +127,9 @@ class IncrementalRunner:
             # Commit token derived from the PART, not the run id: if a prior
             # run crashed after appending outputs but before the lineage
             # commit, the part is still pending and re-processing OVERWRITES
-            # the orphaned commit=part{N} dir (parquet) / DELETEs-then-appends
-            # the part's rows (Iceberg, via replace_where) instead of
-            # duplicating them — resume is idempotent across fresh --run-ids.
+            # the orphaned commit=part{N} dir (parquet) / atomically overwrites
+            # the part's rows (Iceberg, replace_where snapshot commit) instead
+            # of duplicating them — resume is idempotent across fresh --run-ids.
             commit = f"part{part}"
             owns = f"part_id = {part}"
             part_docs = docs_p.where(F.col("_part") == part).drop("_part")

@@ -58,19 +58,25 @@ class Catalog:
         """Append rows; returns a commit token (snapshot id / manifest path).
 
         ``replace_where``: optional SQL predicate identifying the rows this
-        commit logically owns (e.g. ``part_id = 3``).  On the Iceberg branch a
-        ``DELETE FROM ref WHERE <predicate>`` runs before the append, so
+        commit logically owns (e.g. ``part_id = 3``).  On the Iceberg branch
+        the write becomes ``writeTo(ref).overwrite(predicate)`` — delete of
+        the owned rows plus the append in ONE atomic snapshot commit, so
         re-processing after a crash between output-append and lineage-commit
-        REPLACES the orphaned rows instead of duplicating them — the Iceberg
+        REPLACES the orphaned rows instead of duplicating them, and a
+        concurrent reader never observes the owned rows absent (a separate
+        DELETE-then-append would expose that window).  This is the Iceberg
         equivalent of the parquet emulation's keyed ``commit=`` directory
         overwrite.  Ignored on the parquet branch (run_id keying already makes
         that path idempotent).
         """
+        from pyspark.sql import functions as F
+
         tr = TableRef(ref)
         if not tr.is_path and _iceberg_available(self.spark, ref):
             if replace_where and self.spark.catalog.tableExists(ref):
-                self.spark.sql(f"DELETE FROM {ref} WHERE {replace_where}")
-            df.writeTo(ref).append()
+                df.writeTo(ref).overwrite(F.expr(replace_where))
+            else:
+                df.writeTo(ref).append()
             return f"iceberg-append:{ref}"
         # parquet emulation: each append is its own subdirectory + manifest,
         # so a failed job never corrupts previously committed data

@@ -158,7 +158,7 @@ def run_scores_stream_to_catalog(spark: SparkSession, docs_path: str,
     full BATCH pipeline (no streaming agg state — a doc's spans arrive in one
     file row, so per-batch scoring is complete), and the write is keyed by
     batch_id through Catalog.append — commit=batch{N} directory overwrite on
-    parquet, DELETE `_batch_id = N` before append on Iceberg.  Structured
+    parquet, atomic `overwrite(_batch_id = N)` snapshot commit on Iceberg.  Structured
     Streaming guarantees at-least-once batch replay after a crash between the
     write and the checkpoint commit; an idempotent keyed write turns that
     into exactly-once.  Restartable: keep the checkpoint and every invocation

@@ -188,11 +188,13 @@ def test_connected_components_star_equivalence(spark):
              for r in connected_components_star(pairs).collect()}
         return a, b
 
-    # chain (adversarial diameter) + cycle + pair
+    # chain (adversarial diameter) + cycle + pair + a self-loop-only node
+    # (the star variant must label it with itself, like pointer doubling)
     a, b = run_both([(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)]
-                    + [("p", "q"), ("q", "r"), ("r", "p"), ("x", "y")])
+                    + [("p", "q"), ("q", "r"), ("r", "p"), ("x", "y"),
+                       ("solo", "solo")])
     assert a == b
-    assert b["n030"] == "n000" and b["r"] == "p"
+    assert b["n030"] == "n000" and b["r"] == "p" and b["solo"] == "solo"
 
     # seeded random graphs
     rng = random.Random(7)

@@ -19,13 +19,17 @@ from page_evaluator_spark.operators.parse import _title_props
 # ";"/";;" split to the EMPTY array → empty Properties, no crash).
 TITLE_GOOD = ["bbox 393 604 442 620; x_wconf 85", "a 1;b 2 3;  c x y z  ",
               "bbox 1 2 3 4;", "a 1;;", "a 1;;;", "a 1 ; b 2", "a  1",
-              ";", ";;"]
+              ";", ";;",
+              # repeated keys: java.util.Properties last-put-wins — must NOT
+              # abort under Spark's default mapKeyDedupPolicy=EXCEPTION
+              "bbox 1 2 3 4; bbox 5 6 7 8", "a 1;a 2;a 3"]
 
 # Titles the reference CRASHES on (StringIndexOutOfBounds): empty title,
 # leading/interior empty segment, whitespace-only trailing segment, segment
 # with no post-trim literal space (tabs don't count for indexOf(" ")).
+# Trailing \n/\r: Java's $ would match before the terminator — anchors are \z.
 TITLE_BAD = ["", " ", "; ", "a 1; ", "a 1;;b 2", ";a 1", "a 1; ;b 2",
-             "abc", "a\t1", "a 1;b"]
+             "abc", "a\t1", "a 1;b", "a 1;\n", "a 1;\r", ";;\n"]
 
 
 def test_kernel_title_props_good_and_bad():
@@ -129,7 +133,7 @@ def test_native_title_map_fuzz_parity(spark):
 
     rng = random.Random(1234)
     alphabet = ["a", "b", "x1", "bbox", "85.3", ";", " ", "  ", "\t", "\x0b",
-                ";;", "; ", " ;"]
+                ";;", "; ", " ;", "\n", "\r", "a 1;a 2"]
     titles = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
               for _ in range(400)]
     expected = {}

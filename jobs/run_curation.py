@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Corpus-curation job entry point (ship path: spark-submit --py-files).
+
+Composes the training-data curation operators into the pass a 100 TB
+pipeline runs before tokenization — each stage is an operator this package
+already exposes (and that the driver harness hash-verifies individually):
+
+  strip         inter-document boilerplate-line removal (curation.remove_boilerplate_lines)
+  filter        min-token / quality / language gates + exact-dup canonicalization
+  decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
+  cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
+  pack          token-budget sequence packing (curation.pack_token_budget)
+
+  spark-submit --py-files pageeval.zip jobs/run_curation.py \
+      --input <documents table/path> --output <root> \
+      [--stages strip,filter,decontaminate,cluster,pack] \
+      [--benchmark <gram table/path>] [--min-tokens 10] [--min-quality 0.4] \
+      [--langs en,de,fr,es] [--budget 512] [--quiet]
+
+Outputs under --output: `clean_docs` (survivors, cleaned text),
+`curation_audit` (every input doc with its drop stage or NULL),
+`sequences` (packed training bins).  Stages are pure batch transforms; for
+resumable chunked execution wrap the INPUT with jobs/run_pipeline.py's
+lineage runner — this job's contract is one deterministic pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ALL_STAGES = ["strip", "filter", "decontaminate", "cluster", "pack"]
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Curate a documents corpus for training")
+    p.add_argument("--input", required=True, help="documents table (doc_id, text, lang)")
+    p.add_argument("--output", required=True, help="output root")
+    p.add_argument("--stages", default=",".join(ALL_STAGES),
+                   help=f"comma-separated subset of {ALL_STAGES}, applied in canonical order")
+    p.add_argument("--benchmark", default=None,
+                   help="gram table/path (column `gram`) for decontamination")
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--min-quality", type=float, default=0.4)
+    p.add_argument("--langs", default="en,de,fr,es")
+    p.add_argument("--boiler-min-docs", type=int, default=3)
+    p.add_argument("--budget", type=int, default=512)
+    p.add_argument("--master", default=None)
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = set(stages) - set(ALL_STAGES)
+    if unknown:
+        p.error(f"unknown stages: {sorted(unknown)}")
+    args.stage_list = [s for s in ALL_STAGES if s in stages]  # canonical order
+    return args
+
+
+def run(spark, args) -> dict[str, int]:
+    """The job body (session-injectable for tests).  Returns stage counts."""
+    import pyspark.sql.functions as F
+
+    from page_evaluator_spark.functions import textstats as TS
+    from page_evaluator_spark.operators.curation import (
+        benchmark_contamination,
+        dedup_clusters,
+        pack_token_budget,
+        remove_boilerplate_lines,
+    )
+    from page_evaluator_spark.operators.dedup import (
+        PORTABLE_TOKEN_RE,
+        exact_dedup_groups,
+        normalized_text,
+    )
+    from page_evaluator_spark.sources.catalog import Catalog
+
+    catalog = Catalog(spark)
+    docs = catalog.read(args.input)
+    counts: dict[str, int] = {"input": docs.count()}
+    # audit starts as all-NULL drop reasons; each stage fills its casualties
+    audit = docs.select("doc_id").withColumn("drop_stage", F.lit(None).cast("string"))
+
+    def mark(dropped, stage: str):
+        nonlocal audit
+        d = dropped.select("doc_id").withColumn("_s", F.lit(stage))
+        audit = (audit.join(d, "doc_id", "left")
+                 .select("doc_id", F.coalesce("drop_stage", "_s").alias("drop_stage")))
+
+    if "strip" in args.stage_list:
+        cleaned = remove_boilerplate_lines(docs, min_docs=args.boiler_min_docs)
+        docs = (docs.join(cleaned.select("doc_id", "clean_text"), "doc_id")
+                .drop("text").withColumnRenamed("clean_text", "text"))
+        counts["strip_kept"] = counts["input"]  # strip edits text, drops nothing
+
+    if "filter" in args.stage_list:
+        n_tok = F.size(F.regexp_extract_all("text", F.lit(PORTABLE_TOKEN_RE), 0))
+        quality = TS.quality_score(F.col("text"))
+        langs = [x.strip() for x in args.langs.split(",") if x.strip()]
+        canon = exact_dedup_groups(docs).select(
+            F.col("content_hash").alias("_h"), F.col("canonical_id"))
+        staged = (docs.withColumn("_h", F.md5(normalized_text(F.col("text"))))
+                  .join(canon, "_h")
+                  .withColumn("_n", n_tok).withColumn("_q", quality))
+        keep = ((F.col("_n") >= args.min_tokens)
+                & (F.col("_q") >= args.min_quality)
+                & F.col("lang").isin(langs)
+                & (F.col("doc_id") == F.col("canonical_id")))
+        mark(staged.where(~keep), "filter")
+        docs = staged.where(keep).drop("_h", "_n", "_q", "canonical_id")
+        counts["filter_kept"] = docs.count()
+
+    if "decontaminate" in args.stage_list and args.benchmark:
+        bench = catalog.read(args.benchmark)
+        hits = benchmark_contamination(docs, bench)
+        bad = hits.where(F.col("contaminated")).select("doc_id")
+        mark(bad, "decontaminate")
+        docs = docs.join(bad, "doc_id", "left_anti")
+        counts["decontaminate_kept"] = docs.count()
+
+    if "cluster" in args.stage_list:
+        clusters = dedup_clusters(docs)
+        dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        mark(dupes, "cluster")
+        docs = docs.join(dupes, "doc_id", "left_anti")
+        counts["cluster_kept"] = docs.count()
+
+    catalog.overwrite(docs, f"{args.output}/clean_docs")
+    catalog.overwrite(audit, f"{args.output}/curation_audit")
+
+    if "pack" in args.stage_list:
+        seqs = pack_token_budget(docs, budget=args.budget)
+        catalog.overwrite(seqs, f"{args.output}/sequences")
+        counts["sequences"] = seqs.count()
+    counts["kept"] = docs.count()
+    return counts
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from page_evaluator_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-curation", master=args.master)
+    if args.quiet:
+        spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    counts = run(spark, args)
+    dt = time.time() - t0
+    if args.quiet:
+        print(f"{counts['kept']},{dt:.3f}")
+    else:
+        print(f"stages={args.stage_list} counts={counts} seconds={dt:.1f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

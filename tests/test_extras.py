@@ -328,3 +328,58 @@ def test_ivf_ann_recall_and_plan_shape(spark, sf01_dir):
     probe_side = plan.split("BroadcastHashJoin", 1)[1]
     corpus_branch = probe_side.split(":- ", 1)[1].split("+- BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_branch, corpus_branch[:1200]
+
+
+def test_curation_cli_job_end_to_end(spark, tmp_path, sf_dir):
+    """jobs/run_curation.py: the composed curation pass (strip -> filter ->
+    decontaminate -> cluster -> pack) driven through its argparse surface,
+    with injected boilerplate, an exact dup and a benchmark collision."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_curation import parse_args, run
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60) \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text", "lang")
+    footer = "Subscribe to the gazette"
+    extra = spark.createDataFrame(
+        [("dup_a", "a perfectly reasonable document about spark engines "
+                   "processing parquet data at considerable scale", "en"),
+         ("dup_b", "a perfectly reasonable document about spark engines "
+                   "processing parquet data at considerable scale", "en"),
+         ("tiny", "too short", "en"),
+         ("zz_lang", "dette er et dokument paa et sprog udenfor listen "
+                     "med mange gode ord i saetningen her", "da")],
+        "doc_id string, text string, lang string")
+    docs = src.select("doc_id", F.concat("text", F.lit("\n" + footer)).alias("text"),
+                      "lang").unionByName(extra)
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    # benchmark grams that collide with dup_a/dup_b's text
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([("perfectly reasonable document",)], "gram string") \
+        .write.parquet(bench)
+
+    args = parse_args(["--input", inp, "--output", str(tmp_path / "out"),
+                       "--benchmark", bench, "--min-tokens", "10"])
+    assert args.stage_list == ["strip", "filter", "decontaminate", "cluster", "pack"]
+    counts = run(spark, args)
+
+    clean = spark.read.parquet(str(tmp_path / "out" / "clean_docs"))
+    audit = spark.read.parquet(str(tmp_path / "out" / "curation_audit"))
+    seqs = spark.read.parquet(str(tmp_path / "out" / "sequences"))
+    assert audit.count() == counts["input"] == 64
+    reasons = {r["doc_id"]: r["drop_stage"] for r in audit.collect()}
+    assert reasons["tiny"] == "filter"            # under min-tokens
+    assert reasons["zz_lang"] == "filter"         # language gate
+    # boilerplate footer stripped before anything else
+    assert clean.where(F.col("text").contains(footer)).count() == 0
+    # the dup pair: one copy dies as an exact dup, the survivor is then
+    # decontaminated away by the benchmark gram
+    assert {reasons["dup_a"], reasons["dup_b"]} <= {"filter", "decontaminate"}
+    assert clean.where(F.col("doc_id").isin("dup_a", "dup_b")).count() == 0
+    # survivors are exactly the audit's NULL rows, and sequences cover them
+    kept_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept_ids == {d for d, s in reasons.items() if s is None}
+    assert counts["kept"] == len(kept_ids) > 0
+    assert sum(r["n_docs"] for r in seqs.collect()) == counts["kept"]

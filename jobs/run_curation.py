@@ -52,10 +52,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
+    explicit = args.stages != ",".join(ALL_STAGES)
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(ALL_STAGES)
     if unknown:
         p.error(f"unknown stages: {sorted(unknown)}")
+    if "decontaminate" in stages and not args.benchmark:
+        if explicit:
+            # an explicitly requested stage must never silently no-op —
+            # shipping eval-contaminated data with a green exit code is the
+            # worst failure mode this job has
+            p.error("--stages includes 'decontaminate' but no --benchmark "
+                    "gram table was given")
+        stages = [s for s in stages if s != "decontaminate"]
     args.stage_list = [s for s in ALL_STAGES if s in stages]  # canonical order
     return args
 
@@ -90,52 +99,77 @@ def run(spark, args) -> dict[str, int]:
         audit = (audit.join(d, "doc_id", "left")
                  .select("doc_id", F.coalesce("drop_stage", "_s").alias("drop_stage")))
 
+    persisted: list = []
+
+    def checkpoint_stage(df):
+        # stage boundaries persist: downstream stages, the audit joins and the
+        # two output writes each trigger actions — without this the strip
+        # shuffles / dedup aggregates would re-execute once per action
+        df = df.persist()
+        persisted.append(df)
+        return df
+
     if "strip" in args.stage_list:
         cleaned = remove_boilerplate_lines(docs, min_docs=args.boiler_min_docs)
-        docs = (docs.join(cleaned.select("doc_id", "clean_text"), "doc_id")
-                .drop("text").withColumnRenamed("clean_text", "text"))
-        counts["strip_kept"] = counts["input"]  # strip edits text, drops nothing
+        docs = checkpoint_stage(
+            docs.join(cleaned.select("doc_id", "clean_text"), "doc_id")
+            .drop("text").withColumnRenamed("clean_text", "text"))
 
     if "filter" in args.stage_list:
+        # gates FIRST, exact-dup canonicalization among the gate SURVIVORS:
+        # canonicalizing over all docs would delete a whole dup group whenever
+        # its min-id copy happens to fail a gate (e.g. wrong language).
+        # NULL text/lang must evaluate to keep=False (audited), never to a
+        # silent three-valued-logic drop.
         n_tok = F.size(F.regexp_extract_all("text", F.lit(PORTABLE_TOKEN_RE), 0))
         quality = TS.quality_score(F.col("text"))
         langs = [x.strip() for x in args.langs.split(",") if x.strip()]
-        canon = exact_dedup_groups(docs).select(
+        gates = F.coalesce((F.col("text").isNotNull())
+                           & (n_tok >= args.min_tokens)
+                           & (quality >= args.min_quality)
+                           & F.col("lang").isin(langs), F.lit(False))
+        staged = docs.withColumn("_keep", gates)
+        mark(staged.where(~F.col("_keep")), "filter")
+        survivors = staged.where(F.col("_keep")).drop("_keep")
+        canon = exact_dedup_groups(survivors).select(
             F.col("content_hash").alias("_h"), F.col("canonical_id"))
-        staged = (docs.withColumn("_h", F.md5(normalized_text(F.col("text"))))
-                  .join(canon, "_h")
-                  .withColumn("_n", n_tok).withColumn("_q", quality))
-        keep = ((F.col("_n") >= args.min_tokens)
-                & (F.col("_q") >= args.min_quality)
-                & F.col("lang").isin(langs)
-                & (F.col("doc_id") == F.col("canonical_id")))
-        mark(staged.where(~keep), "filter")
-        docs = staged.where(keep).drop("_h", "_n", "_q", "canonical_id")
-        counts["filter_kept"] = docs.count()
+        with_canon = (survivors
+                      .withColumn("_h", F.md5(normalized_text(F.col("text"))))
+                      .join(canon, "_h", "left"))
+        dup = F.col("doc_id") != F.coalesce("canonical_id", F.col("doc_id"))
+        mark(with_canon.where(dup), "filter")
+        docs = checkpoint_stage(
+            with_canon.where(~dup).drop("_h", "canonical_id"))
 
-    if "decontaminate" in args.stage_list and args.benchmark:
+    if "decontaminate" in args.stage_list:
         bench = catalog.read(args.benchmark)
         hits = benchmark_contamination(docs, bench)
         bad = hits.where(F.col("contaminated")).select("doc_id")
         mark(bad, "decontaminate")
-        docs = docs.join(bad, "doc_id", "left_anti")
-        counts["decontaminate_kept"] = docs.count()
+        docs = checkpoint_stage(docs.join(bad, "doc_id", "left_anti"))
 
     if "cluster" in args.stage_list:
         clusters = dedup_clusters(docs)
         dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         mark(dupes, "cluster")
-        docs = docs.join(dupes, "doc_id", "left_anti")
-        counts["cluster_kept"] = docs.count()
+        docs = checkpoint_stage(docs.join(dupes, "doc_id", "left_anti"))
 
     catalog.overwrite(docs, f"{args.output}/clean_docs")
     catalog.overwrite(audit, f"{args.output}/curation_audit")
 
+    # summary from the WRITTEN outputs (one read-back each; intermediate
+    # per-stage counts would each replay the DAG)
+    audit_back = catalog.read(f"{args.output}/curation_audit")
+    for r in audit_back.groupBy("drop_stage").count().collect():
+        counts[f"dropped_{r['drop_stage'] or 'none'}"] = r["count"]
+    clean_back = catalog.read(f"{args.output}/clean_docs")
     if "pack" in args.stage_list:
-        seqs = pack_token_budget(docs, budget=args.budget)
+        seqs = pack_token_budget(clean_back, budget=args.budget)
         catalog.overwrite(seqs, f"{args.output}/sequences")
-        counts["sequences"] = seqs.count()
-    counts["kept"] = docs.count()
+        counts["sequences"] = catalog.read(f"{args.output}/sequences").count()
+    counts["kept"] = clean_back.count()
+    for df in persisted:
+        df.unpersist()
     return counts
 
 

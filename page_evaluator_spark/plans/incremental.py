@@ -13,7 +13,9 @@ emulation keys the commit directory by the PART alone (commit=part{N},
 mode=overwrite), and the Iceberg branch passes ``replace_where="part_id =
 {N}"`` so Catalog.append atomically overwrites the rows that part owns
 (one snapshot commit — every output row carries a part_id column for
-exactly this).
+exactly this; on Iceberg create the output tables PARTITIONED BY (part_id)
+so overwrite-by-filter stays file-aligned even after compaction — the
+Catalog.append alignment contract).
 
 At 10^12 docs the input table would be bucketed by the same hash so each
 part-job prunes to its buckets instead of re-scanning (Iceberg

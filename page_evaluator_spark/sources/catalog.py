@@ -68,6 +68,15 @@ class Catalog:
         equivalent of the parquet emulation's keyed ``commit=`` directory
         overwrite.  Ignored on the parquet branch (run_id keying already makes
         that path idempotent).
+
+        ALIGNMENT CONTRACT: the predicate column must be part of the target
+        table's partition spec (``PARTITIONED BY (part_id)`` — the smoke test
+        creates exactly this).  Overwrite-by-filter deletes whole data files;
+        with an aligned spec every file is predicate-homogeneous FOREVER —
+        including after compaction/rewrite_data_files, which preserves
+        partition boundaries — so the overwrite can never hit the
+        partially-matching-file ValidationException that an unpartitioned
+        table could after maintenance mixes key values into one file.
         """
         from pyspark.sql import functions as F
 

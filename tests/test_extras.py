@@ -334,10 +334,7 @@ def test_curation_cli_job_end_to_end(spark, tmp_path, sf_dir):
     """jobs/run_curation.py: the composed curation pass (strip -> filter ->
     decontaminate -> cluster -> pack) driven through its argparse surface,
     with injected boilerplate, an exact dup and a benchmark collision."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    from jobs.run_curation import parse_args, run
+    from jobs.run_curation import parse_args, run  # repo root on path via conftest
 
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60) \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text", "lang")
@@ -349,7 +346,10 @@ def test_curation_cli_job_end_to_end(spark, tmp_path, sf_dir):
                    "processing parquet data at considerable scale", "en"),
          ("tiny", "too short", "en"),
          ("zz_lang", "dette er et dokument paa et sprog udenfor listen "
-                     "med mange gode ord i saetningen her", "da")],
+                     "med mange gode ord i saetningen her", "da"),
+         ("null_lang", "a document with unknown language metadata but plenty "
+                       "of perfectly ordinary words to pass the gates", None),
+         ("null_text", None, "en")],
         "doc_id string, text string, lang string")
     docs = src.select("doc_id", F.concat("text", F.lit("\n" + footer)).alias("text"),
                       "lang").unionByName(extra)
@@ -368,10 +368,14 @@ def test_curation_cli_job_end_to_end(spark, tmp_path, sf_dir):
     clean = spark.read.parquet(str(tmp_path / "out" / "clean_docs"))
     audit = spark.read.parquet(str(tmp_path / "out" / "curation_audit"))
     seqs = spark.read.parquet(str(tmp_path / "out" / "sequences"))
-    assert audit.count() == counts["input"] == 64
+    assert audit.count() == counts["input"] == 66
     reasons = {r["doc_id"]: r["drop_stage"] for r in audit.collect()}
     assert reasons["tiny"] == "filter"            # under min-tokens
     assert reasons["zz_lang"] == "filter"         # language gate
+    # NULL lang/text must be DROPPED AND AUDITED, never a silent
+    # three-valued-logic vanish (review finding)
+    assert reasons["null_lang"] == "filter"
+    assert reasons["null_text"] in ("strip", "filter")
     # boilerplate footer stripped before anything else
     assert clean.where(F.col("text").contains(footer)).count() == 0
     # the dup pair: one copy dies as an exact dup, the survivor is then

@@ -70,7 +70,11 @@ def test_iceberg_write_read_roundtrip(tmp_path):
         assert cat.exists("smoke.db.scores")
         # replace_where idempotency (incremental-runner resume contract):
         # re-appending the rows a crashed part owns REPLACES, never duplicates
-        spark.sql("CREATE TABLE smoke.db.parts (doc_id STRING, part_id INT) USING iceberg")
+        # PARTITIONED BY the replace_where column: the Catalog alignment
+        # contract — keeps every data file predicate-homogeneous even after
+        # compaction, so overwrite-by-filter stays file-aligned
+        spark.sql("CREATE TABLE smoke.db.parts (doc_id STRING, part_id INT) "
+                  "PARTITIONED BY (part_id) USING iceberg")
         pdf = spark.createDataFrame([("d1", 0), ("d2", 0), ("d3", 1)],
                                     "doc_id string, part_id int")
         cat.append(pdf, "smoke.db.parts", replace_where="part_id = 0")

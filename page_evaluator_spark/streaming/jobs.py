@@ -150,6 +150,55 @@ def run_stateful_first_seen(spark: SparkSession, docs_path: str,
     return spark.read.parquet(out_dir)
 
 
+def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
+                                    watermark: str = "1 day",
+                                    horizon_s: int = 3600) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the remaining streaming join
+    surface): clicks joined to same-user purchases within `horizon_s` seconds.
+
+    Both sides carry watermarks and the join has an event-time range
+    constraint, so Spark can bound the buffered state (clicks older than
+    watermark+horizon are evicted).  Run to completion with AvailableNow the
+    result equals the batch interval join — the harness pins that with a
+    DuckDB twin.
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    def src():
+        return (spark.readStream.format("parquet").schema(schema)
+                .option("pathGlobFilter", os.path.basename(events_path))
+                .load(os.path.dirname(events_path)))
+
+    clicks = (src().where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").cast("timestamp_ltz").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    buys = (src().where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").cast("timestamp_ltz").alias("buy_ts"))
+            .withWatermark("buy_ts", watermark))
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+        "inner")
+    out = joined.select(
+        "user_id", "click_id", "buy_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
+        .cast("bigint").alias("delay_s"))
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_scores_stream_to_catalog(spark: SparkSession, docs_path: str,
                                  checkpoint_dir: str, out_ref: str) -> DataFrame:
     """Streaming page scoring into a Catalog table with EXACTLY-ONCE rows.

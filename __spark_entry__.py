@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from page_evaluator_spark.queries import QUERIES
     from page_evaluator_spark.queries import oracle_sql as _oracle
 
-    return dict(_oracle())
+    # the driver pairs oracles with queries() entries; EXTRA_QUERIES oracles
+    # are pytest-only (tests/test_queries.py checks both dicts)
+    return {k: v for k, v in _oracle().items() if k in QUERIES}

@@ -40,8 +40,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="Curate a documents corpus for training")
     p.add_argument("--input", required=True, help="documents table (doc_id, text, lang)")
     p.add_argument("--output", required=True, help="output root")
-    p.add_argument("--stages", default=",".join(ALL_STAGES),
-                   help=f"comma-separated subset of {ALL_STAGES}, applied in canonical order")
+    p.add_argument("--stages", default=None,
+                   help=f"comma-separated subset of {ALL_STAGES}, applied in canonical "
+                        f"order (default: all of them)")
     p.add_argument("--benchmark", default=None,
                    help="gram table/path (column `gram`) for decontamination")
     p.add_argument("--min-tokens", type=int, default=10)
@@ -52,8 +53,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
-    explicit = args.stages != ",".join(ALL_STAGES)
-    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    # ANY user-supplied --stages is explicit — including one that happens to
+    # spell out the full canonical list.  (Comparing the string to the default
+    # list would silently drop an explicitly requested decontaminate below.)
+    explicit = args.stages is not None
+    stages_str = args.stages if explicit else ",".join(ALL_STAGES)
+    stages = [s.strip() for s in stages_str.split(",") if s.strip()]
     unknown = set(stages) - set(ALL_STAGES)
     if unknown:
         p.error(f"unknown stages: {sorted(unknown)}")

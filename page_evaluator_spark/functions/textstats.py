@@ -95,3 +95,39 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of whitespace-normalized lowercase text."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+# --- model-based quality filter (fastText-classifier shape) -----------------
+# Hashing-trick unigram features → weight lookup → mean-pooled logit →
+# sigmoid.  The "pretrained" weight table is derived deterministically from
+# md5 of the bucket id (an integer in [-1000, 1000], i.e. weight k/1000), so
+# the table needs no storage and the whole scorer is native expressions with
+# an exact DuckDB twin.  Weights are INTEGERS in the hot path on purpose:
+# the per-doc feature sum is exact and order-independent (no float-sum
+# associativity hazard), with ONE double division at the end.
+
+MODEL_N_BUCKETS = 1024
+MODEL_WEIGHT_SPAN = 1000  # weights are k/1000, k ∈ [-1000, 1000]
+
+
+def _model_bucket(tok: Column) -> Column:
+    """Hashing-trick feature bucket in [0, MODEL_N_BUCKETS)."""
+    return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % MODEL_N_BUCKETS)
+
+
+def _model_weight_int(tok: Column) -> Column:
+    """Integer weight k ∈ [-1000, 1000] for the token's bucket."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("w:"), _model_bucket(tok).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return h % (2 * MODEL_WEIGHT_SPAN + 1) - MODEL_WEIGHT_SPAN
+
+
+def model_quality_wsum(text: Column) -> Column:
+    """(integer weight sum, token count) struct — the exact sufficient
+    statistics of the linear model; a per-row integer fold, no shuffle."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(PORTABLE_TOKEN_RE), 0)
+    wsum = F.aggregate(F.transform(toks, _model_weight_int),
+                       F.lit(0).cast("long"), lambda acc, w: acc + w)
+    return F.struct(wsum.alias("wsum"), F.size(toks).cast("int").alias("n_tokens"))

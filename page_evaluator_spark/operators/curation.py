@@ -115,9 +115,21 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
         return (sym.groupBy("u").agg(F.min("v").alias("minv"))
                 .select("u", F.least(F.col("u"), F.col("minv")).alias("m")))
 
+    def _edge_sig(df: DataFrame) -> tuple[int, int]:
+        # ONE action per round: (count, order-independent checksum).  An
+        # unchanged signature nominates a fixpoint, which is then verified
+        # EXACTLY (checksum collisions can't fake convergence) — the exact
+        # exceptAll shuffle is paid once at the end, not every round.
+        row = df.agg(F.count("*").alias("n"),
+                     F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                                F.lit(0)).alias("chk")).collect()[0]
+        # decimal sum: exact and order-independent, never overflows (ANSI
+        # mode makes a plain long sum of 64-bit hashes abort the job)
+        return int(row["n"]), int(row["chk"])
+
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .where(F.col("u") != F.col("v")).distinct())
-    n_edges = edges.count()
+    sig = _edge_sig(edges)
     for _ in range(max_iter):
         sym = (edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
                .distinct())
@@ -140,11 +152,10 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                  .select("e.u", "e.v")
                  .where(F.col("u") != F.col("v")).distinct())
         new_edges = _truncate_lineage(small)
-        # both sets are distinct, so equal counts + empty one-sided diff
-        # imply set equality (halves the per-round convergence-check cost)
-        n_new = new_edges.count()
-        changed = (n_new != n_edges) or new_edges.exceptAll(edges).count() > 0
-        n_edges = n_new
+        # both sets are distinct, so a verified equal set means fixpoint
+        new_sig = _edge_sig(new_edges)
+        changed = (new_sig != sig) or new_edges.exceptAll(edges).count() > 0
+        sig = new_sig
         edges = new_edges
         if not changed:
             # fixpoint: stars centered at component minima — (center, node)
@@ -230,6 +241,11 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
     reason); reconstruction is ONE doc_id shuffle carrying kept lines
     (doc-sized groups, the spans_out pattern).  Returns every input document:
     (doc_id, n_lines, n_removed, clean_text).
+
+    NULL-text documents pass through unchanged: clean_text stays NULL (so a
+    downstream gate audits them as NULL-text drops instead of seeing a
+    silently fabricated empty string) and n_lines/n_removed are 0 — never
+    NULL, keeping the per-doc stats contract total.
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -248,13 +264,17 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
                         F.array_sort(F.collect_list(F.struct("pos", "line"))),
                         lambda s: s["line"])).alias("clean_text"),
                     F.count("*").alias("n_kept")))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).isNull().alias("_null_text"),
+        F.coalesce(F.size(F.split(F.col(text_col), "\n")), F.lit(0)).alias("n_lines"))
     return (base.join(rebuilt, "doc_id", "left")
             .select("doc_id", "n_lines",
                     (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
                     .cast("int").alias("n_removed"),
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+                    F.when(F.col("_null_text"), F.lit(None).cast("string"))
+                    .otherwise(F.coalesce("clean_text", F.lit("")))
+                    .alias("clean_text")))
 
 
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,

@@ -127,13 +127,25 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", id_col: str 
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3, threshold: float = 0.0) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.0,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Shingle-inverted-index join (explode → self-join on shingle → count
     intersections), the classic sparse-similarity plan: cost ∝ shared
-    shingles, never n².  At 100 TB you'd gate this behind the LSH candidates;
-    here it doubles as the LSH oracle.
+    shingles, never n².
+
+    ``max_df`` is the scale guard (CCNet-style document-frequency cap): a
+    shingle appearing in k documents produces k·(k−1)/2 join rows, so ONE
+    boilerplate shingle shared by 10⁶ docs is a 10¹²-row bucket that AQE can
+    split but not shrink.  Shingles with distinct-doc frequency > max_df are
+    removed from every document's shingle SET before the join — sizes and
+    intersections are both computed over the capped sets, so the output is
+    exactly "Jaccard over informative shingles"; docs whose capped set is
+    empty drop out (boilerplate-only documents carry no signal).  The df pass
+    is one map-side-combined aggregate on the already-exploded stream.  With
+    max_df=None the similarity is exact — only safe behind LSH candidate
+    gating or on bounded corpora.
     """
     from .skew import ensure_min_parallelism
 
@@ -141,8 +153,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
           .select(F.col(id_col).alias("doc_id"),
                   token_shingles(F.col(text_col), shingle_n).alias("shingles"))
           .where(F.size("shingles") > 0))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        # shingle sets are per-doc distinct, so count(*) == count(distinct doc)
+        keep = (exploded.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df)
+                .select("shingle"))
+        exploded = exploded.join(keep, "shingle")
+        sizes = exploded.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
+    else:
+        # uncapped: set sizes read straight off the arrays, no extra agg
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (a.join(b, "shingle")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -176,11 +176,66 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int,
     rows = (embeddings.where(F.col(id_col) < n_cells)
             .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("v"))
             .orderBy("cid").collect())
+    if len(rows) < n_cells:
+        # the seeding assumes dense integer ids 0..n_cells-1 exist; with
+        # sparse/string ids or a corpus smaller than n_cells we'd silently
+        # return too few (possibly zero) centroids and downstream cell
+        # expressions would build empty arrays — fail loudly instead
+        # (mirrors simhash_near_pairs' explicit n_bands guard)
+        raise ValueError(
+            f"ivf_centroids seeds from the {n_cells} lowest integer ids and "
+            f"found only {len(rows)} vectors with {id_col} < {n_cells}; the "
+            f"corpus must contain dense ids 0..{n_cells - 1}")
     return [(r["cid"], [float(x) for x in r["v"]]) for r in rows]
 
 
+# fixed-point scale for deterministic k-means centroid means: accumulating
+# sum(floor(x · 2^20)) in LONGS makes the per-cell mean independent of
+# partitioning / summation order — floating-point sums are not associative,
+# so a double-sum mean would differ between cluster sizes (and from DuckDB)
+IVF_FXP = 1 << 20
+
+
+def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
+                         dim: int = 64, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Seeded, k-means-refined coarse quantizer (VERDICT r3 #3).
+
+    Init = the n_cells lowest-id vectors.  Each round: (1) assign every
+    vector to its nearest current centroid — a broadcast-literal projection,
+    ZERO shuffle over the corpus; (2) per-cell component-wise mean, summed in
+    fixed-point longs (exact, order-independent) and divided back to double —
+    one map-side-combined groupBy(cell) agg whose output is n_cells rows (a
+    dimension-table collect, like the init).  Empty cells keep their previous
+    centroid.  Fully deterministic → the DuckDB twin re-derives the round
+    bit-exactly.
+    """
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    base = embeddings.select(F.col(vec_col).alias("v"))
+    for _ in range(n_rounds):
+        assigned = base.withColumn("cell", ivf_cell_expr(F.col("v"), cents))
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.floor(F.element_at(F.col("v"), i + 1).cast("double")
+                          * F.lit(float(IVF_FXP)))).alias(f"s{i}")
+            for i in range(dim)]
+        by_cell = {int(r["cell"]): r for r in assigned.groupBy("cell").agg(*aggs).collect()}
+        new_cents = []
+        for cid, old in cents:
+            r = by_cell.get(cid)
+            if r is None or int(r["n"]) == 0:
+                new_cents.append((cid, old))
+            else:
+                # float()/float() mirrors the twin's DOUBLE/DOUBLE division
+                # (both operands < 2^53 → conversions are exact)
+                denom = float(int(r["n"]) * IVF_FXP)
+                new_cents.append((cid, [float(int(r[f"s{i}"])) / denom
+                                        for i in range(dim)]))
+        cents = new_cents
+    return cents
+
+
 def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                 n_cells: int = 16, nprobe: int = 4,
+                 n_cells: int = 16, nprobe: int = 4, kmeans_rounds: int = 0,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id") -> DataFrame:
     """IVF ANN top-k: nearest-cell assignment (zero-shuffle projection) →
@@ -189,10 +244,16 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     The only wide operations touch CANDIDATES (≈ nprobe/n_cells of the data):
     the cell join broadcasts the exploded query probes onto the assigned
     corpus (no corpus shuffle), and the final top-k window sees only scored
-    candidates.  Fully deterministic → exact DuckDB twin."""
+    candidates.  kmeans_rounds > 0 refines the seeded centroids first
+    (ivf_kmeans_centroids) — better-balanced cells at equal nprobe.  Fully
+    deterministic → exact DuckDB twin."""
     from .skew import ensure_min_parallelism
 
-    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    if kmeans_rounds > 0:
+        cents = ivf_kmeans_centroids(embeddings, n_cells, n_rounds=kmeans_rounds,
+                                     id_col=id_col, vec_col=vec_col)
+    else:
+        cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     e = (ensure_min_parallelism(embeddings)
          .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec"))
          .withColumn("cell", ivf_cell_expr(F.col("e_vec"), cents)))
@@ -208,6 +269,62 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.5,
+                         n_cells: int = 16, kmeans_rounds: int = 1,
+                         id_col: str = "vec_id", vec_col: str = "embedding"
+                         ) -> DataFrame:
+    """Within-cell near-duplicate pairs — the candidate stage of
+    semantic_dedup, exposed so its plan shape is independently testable:
+    the self-join key IS the IVF cell id, so no cross-cell pair is ever
+    generated and the join is a plain equi-join (never a cartesian)."""
+    from .skew import ensure_min_parallelism
+
+    cents = ivf_kmeans_centroids(embeddings, n_cells, n_rounds=kmeans_rounds,
+                                 id_col=id_col, vec_col=vec_col)
+    e = (ensure_min_parallelism(embeddings)
+         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+         .withColumn("cell", ivf_cell_expr(F.col("vec"), cents)))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, "cell")
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .withColumn("cosine_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+            .where(F.col("cosine_sim") >= threshold)
+            .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b")))
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.5,
+                   n_cells: int = 16, kmeans_rounds: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space coarsely, find near-duplicate pairs ONLY
+    within a cluster, connect them into duplicate families, keep one
+    canonical member per family.
+
+    Scale shape: (1) IVF cell assignment — k-means-refined centroids inlined
+    as literals, zero corpus shuffle; (2) within-cell pair generation — the
+    self-join key IS the cell id, so NO cross-cell pairs are ever generated
+    (candidate count = Σ |cell|²/2, not n²/2; n_cells grows ∝ √n to hold
+    cell sizes flat); (3) connected components over the thresholded pairs
+    (pointer-doubling min-label, O(log diameter) rounds); (4) total keep-list:
+    every vector labeled with its family's canonical (min) id, keep =
+    (vec_id == cluster_id).  Fully deterministic → exact DuckDB twin
+    (recursive-CTE closure).
+
+    Returns (vec_id, cluster_id, keep) for EVERY input vector.
+    """
+    from .curation import connected_components
+
+    pairs = semantic_dedup_pairs(embeddings, threshold=threshold, n_cells=n_cells,
+                                 kmeans_rounds=kmeans_rounds,
+                                 id_col=id_col, vec_col=vec_col)
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    out = (embeddings.select(F.col(id_col).alias("vec_id"))
+           .join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+           .select("vec_id",
+                   F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id")))
+    return out.withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,

@@ -69,7 +69,22 @@ def rebalance_spans(span_rows: DataFrame, n_parts: int | None = None,
 # driver-side plan→RDD conversion, wasteful to repeat for the same scan.
 # Keyed by a caller-supplied stable key (e.g. the parquet path) + min_parts;
 # scan splitting is deterministic for fixed files and session read confs.
+# CONTRACT: a cache_key must name a path whose file layout is immutable for
+# the process lifetime — rewriting a keyed path with a different layout
+# (e.g. regenerating a bench corpus in place) must call
+# clear_scan_parts_cache() or the stale split count can skip a needed
+# repartition and serialize expression-heavy work.
 _SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def clear_scan_parts_cache(prefix: str | None = None) -> None:
+    """Drop memoized split counts (all of them, or keys starting with
+    ``prefix``) after rewriting a cache-keyed path in-process."""
+    if prefix is None:
+        _SCAN_PARTS_CACHE.clear()
+    else:
+        for k in [k for k in _SCAN_PARTS_CACHE if k[0].startswith(prefix)]:
+            del _SCAN_PARTS_CACHE[k]
 
 
 def _probe_partitions(df: DataFrame) -> int:

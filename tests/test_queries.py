@@ -11,7 +11,10 @@ import duckdb
 import pandas as pd
 import pytest
 
-from page_evaluator_spark.queries import QUERIES, oracle_sql
+from page_evaluator_spark.queries import EXTRA_LAST_GREEN, EXTRA_QUERIES, QUERIES, oracle_sql
+
+# window + parked entries are both oracle-checked every run
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]
@@ -60,19 +63,29 @@ def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
 
 ORACLE = oracle_sql()
 ORACLE_CHECKED = sorted(ORACLE)
-ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
+ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ORACLE))
+
+
+def test_registry_is_exactly_the_driver_window():
+    """The driver artifact records the first 50 queries() entries; keeping
+    the registry at exactly 50 means every entry is attested each round."""
+    assert len(QUERIES) == 50
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+    assert set(EXTRA_QUERIES) == set(EXTRA_LAST_GREEN)
+    # every oracle key must correspond to a real query somewhere
+    assert set(ORACLE) <= set(ALL_QUERIES)
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_query_vs_oracle(spark, ddb, sf01_dir, name):
-    got = QUERIES[name](spark, sf01_dir).toPandas()
+    got = ALL_QUERIES[name](spark, sf01_dir).toPandas()
     exp = ddb.execute(ORACLE[name]).df()
     _compare(got, exp, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, sf01_dir, name):
-    df = QUERIES[name](spark, sf01_dir)
+    df = ALL_QUERIES[name](spark, sf01_dir)
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0

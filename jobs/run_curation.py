@@ -7,15 +7,18 @@ already exposes (and that the driver harness hash-verifies individually):
 
   strip         inter-document boilerplate-line removal (curation.remove_boilerplate_lines)
   filter        min-token / quality / language gates + exact-dup canonicalization
+  model_filter  model-based quality gate (textstats.model_quality_wsum — the
+                fastText-classifier-shaped linear scorer); OPT-IN: not in the
+                default stage list, enable via --stages
   decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
   cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
   pack          token-budget sequence packing (curation.pack_token_budget)
 
   spark-submit --py-files pageeval.zip jobs/run_curation.py \
       --input <documents table/path> --output <root> \
-      [--stages strip,filter,decontaminate,cluster,pack] \
+      [--stages strip,filter,model_filter,decontaminate,cluster,pack] \
       [--benchmark <gram table/path>] [--min-tokens 10] [--min-quality 0.4] \
-      [--langs en,de,fr,es] [--budget 512] [--quiet]
+      [--model-min-score 0.5] [--langs en,de,fr,es] [--budget 512] [--quiet]
 
 Outputs under --output: `clean_docs` (survivors, cleaned text),
 `curation_audit` (every input doc with its drop stage or NULL),
@@ -33,7 +36,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-ALL_STAGES = ["strip", "filter", "decontaminate", "cluster", "pack"]
+# canonical stage order; model_filter is opt-in (not in the default list)
+ALL_STAGES = ["strip", "filter", "model_filter", "decontaminate", "cluster", "pack"]
+DEFAULT_STAGES = [s for s in ALL_STAGES if s != "model_filter"]
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -47,6 +52,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="gram table/path (column `gram`) for decontamination")
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--min-quality", type=float, default=0.4)
+    p.add_argument("--model-min-score", type=float, default=0.5,
+                   help="model_filter keeps docs with sigmoid score >= this")
     p.add_argument("--langs", default="en,de,fr,es")
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
@@ -57,11 +64,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # spell out the full canonical list.  (Comparing the string to the default
     # list would silently drop an explicitly requested decontaminate below.)
     explicit = args.stages is not None
-    stages_str = args.stages if explicit else ",".join(ALL_STAGES)
+    stages_str = args.stages if explicit else ",".join(DEFAULT_STAGES)
     stages = [s.strip() for s in stages_str.split(",") if s.strip()]
     unknown = set(stages) - set(ALL_STAGES)
     if unknown:
         p.error(f"unknown stages: {sorted(unknown)}")
+    if not 0.0 < args.model_min_score < 1.0:
+        p.error("--model-min-score must be in (0, 1) — it is a sigmoid score")
     if "decontaminate" in stages and not args.benchmark:
         if explicit:
             # an explicitly requested stage must never silently no-op —
@@ -145,6 +154,25 @@ def run(spark, args) -> dict[str, int]:
         mark(with_canon.where(dup), "filter")
         docs = checkpoint_stage(
             with_canon.where(~dup).drop("_h", "canonical_id"))
+
+    if "model_filter" in args.stage_list:
+        # model-based quality gate: linear logit >= log-odds of the score
+        # threshold.  The comparison is on the exact integer weight sum
+        # (wsum >= thr·1000·n_tokens), so the gate has no float-sum hazard;
+        # NULL text ⇒ NULL wsum ⇒ coalesce(FALSE) — audited, never silently
+        # three-valued-logic dropped.
+        import math
+
+        s = args.model_min_score
+        logit_thr = math.log(s / (1.0 - s))
+        st = TS.model_quality_wsum(F.col("text"))
+        keep = F.coalesce(
+            st["wsum"].cast("double")
+            >= F.lit(logit_thr) * TS.MODEL_WEIGHT_SPAN * st["n_tokens"].cast("double"),
+            F.lit(False))
+        staged = docs.withColumn("_keep", keep)
+        mark(staged.where(~F.col("_keep")), "model_filter")
+        docs = checkpoint_stage(staged.where(F.col("_keep")).drop("_keep"))
 
     if "decontaminate" in args.stage_list:
         bench = catalog.read(args.benchmark)

@@ -150,6 +150,42 @@ def run_stateful_first_seen(spark: SparkSession, docs_path: str,
     return spark.read.parquet(out_dir)
 
 
+def run_dropdup_within_watermark(spark: SparkSession, events_dir: str,
+                                 checkpoint_dir: str, out_dir: str,
+                                 key_cols: tuple[str, ...] = ("event_id",),
+                                 watermark: str = "1 day") -> DataFrame:
+    """Streaming dedup via the BUILT-IN dropDuplicatesWithinWatermark — the
+    bounded-state complement of run_stateful_first_seen (VERDICT r3 #7).
+
+    Plain streaming dropDuplicates keeps every key ever seen (state grows
+    without bound); dropDuplicatesWithinWatermark evicts key state once the
+    watermark passes the key's event time, which is the only shape that
+    survives an unbounded stream at 100 TB/day — the contract weakens to
+    "duplicates arriving within the watermark interval are dropped", exactly
+    the guarantee dedup-on-ingest needs when producers retry within minutes.
+
+    Parquet sink + checkpoint ⇒ resumable: a restart with the same checkpoint
+    processes only new files and still drops duplicates of earlier keys whose
+    state the watermark has not yet evicted.  Equals batch
+    dropDuplicates(key) whenever all duplicates of a key arrive within the
+    watermark (the harness test pins that batch equality).
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(events_dir)
+              # watermarks need an instant (LTZ) event-time column, not NTZ
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    deduped = (stream.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(list(key_cols)))
+    q = (deduped.writeStream.format("parquet")
+         .outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
                                     watermark: str = "1 day",
                                     horizon_s: int = 3600) -> DataFrame:

@@ -243,3 +243,37 @@ def test_remove_boilerplate_lines_null_text_passthrough(spark):
     assert out["d"]["clean_text"] is None
     assert out["d"]["n_lines"] == 0 and out["d"]["n_removed"] == 0
     assert out["a"]["clean_text"] == "keep me" and out["a"]["n_removed"] == 1
+
+
+def test_curation_model_filter_stage(spark, tmp_path):
+    """model_filter is opt-in (absent from the default stage list) and, when
+    enabled, drops exactly the docs whose integer weight sum is negative at
+    the default 0.5 score threshold — audited, NULL text included."""
+    from jobs.run_curation import parse_args, run
+
+    docs = [("a", "The quick brown fox jumps over the lazy dog", "en"),
+            ("b", "ein kleines deutsches Beispiel mit mehr Text", "de"),
+            ("c", "zzz qqq xxx vvv kkk jjj", "en"),
+            ("d", None, "en"),
+            ("e", "numbers 123 456 789 and words in between", "en")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id: string, text: string, lang: string") \
+        .write.parquet(src)
+
+    # opt-in: not in the implicit default list
+    implicit = parse_args(["--input", src, "--output", str(tmp_path / "o0")])
+    assert "model_filter" not in implicit.stage_list
+
+    args = parse_args(["--input", src, "--output", str(tmp_path / "out"),
+                       "--stages", "model_filter"])
+    assert args.stage_list == ["model_filter"]
+    counts = run(spark, args)
+    audit = {r["doc_id"]: r["drop_stage"] for r in
+             spark.read.parquet(str(tmp_path / "out/curation_audit")).collect()}
+    assert len(audit) == 5
+    expected_drop = {d for d, t, _ in docs
+                     if t is None or _py_model_wsum(t)[0] < 0}
+    assert {d for d, s in audit.items() if s == "model_filter"} == expected_drop
+    assert counts["kept"] == 5 - len(expected_drop)
+    with pytest.raises(SystemExit):
+        parse_args(["--input", src, "--output", "o", "--model-min-score", "1.5"])

@@ -180,3 +180,41 @@ def test_streaming_catalog_sink_exactly_once(spark, tmp_path):
     again = cat.read(out)
     assert again.count() == n_total  # unchanged — replaced, not duplicated
     assert again.select("doc_id").distinct().count() == 20
+
+
+def test_dropdup_within_watermark_batch_equality_and_resume(spark, tmp_path):
+    """Built-in bounded-state streaming dedup (r4): equals batch
+    dropDuplicates(key) when all duplicates arrive within the watermark, and
+    a checkpoint restart still drops duplicates of earlier keys."""
+    import datetime as dt
+
+    from page_evaluator_spark.streaming.jobs import run_dropdup_within_watermark
+
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, minute, etype="click"):
+        return (eid, 7, etype, t0 + dt.timedelta(minutes=minute), 1.0)
+
+    schema = "event_id: long, user_id: long, event_type: string, ts: timestamp, value: double"
+    # batch 1: e1 duplicated in-batch (producer retry), e2/e3 unique
+    b1 = [ev(1, 0), ev(1, 1), ev(2, 2), ev(3, 3)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(land)
+    got1 = run_dropdup_within_watermark(spark, land, ckpt, out)
+    assert got1.count() == 3
+    assert {r["event_id"] for r in got1.collect()} == {1, 2, 3}
+
+    # batch 2 (same checkpoint): replays e2 within the watermark + new e4 —
+    # only e4 flows; the restart read just the new file and kept e2's state
+    b2 = [ev(2, 4), ev(4, 5)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(land)
+    got2 = run_dropdup_within_watermark(spark, land, ckpt, out)
+    assert got2.count() == 4
+    assert {r["event_id"] for r in got2.collect()} == {1, 2, 3, 4}
+
+    # batch equality: keys match batch dropDuplicates over everything landed
+    batch_keys = {r["event_id"] for r in
+                  spark.read.parquet(land).dropDuplicates(["event_id"]).collect()}
+    assert {r["event_id"] for r in got2.collect()} == batch_keys

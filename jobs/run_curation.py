@@ -16,9 +16,10 @@ already exposes (and that the driver harness hash-verifies individually):
 
   spark-submit --py-files pageeval.zip jobs/run_curation.py \
       --input <documents table/path> --output <root> \
-      [--stages strip,filter,model_filter,decontaminate,cluster,pack] \
-      [--benchmark <gram table/path>] [--min-tokens 10] [--min-quality 0.4] \
-      [--model-min-score 0.5] [--langs en,de,fr,es] [--budget 512] [--quiet]
+      [--stages strip,filter,model_filter,cluster,pack] \
+      [--benchmark <gram table/path>]  # REQUIRED when --stages names decontaminate \
+      [--min-tokens 10] [--min-quality 0.4] [--model-min-score 0.5] \
+      [--langs en,de,fr,es] [--budget 512] [--quiet]
 
 Outputs under --output: `clean_docs` (survivors, cleaned text),
 `curation_audit` (every input doc with its drop stage or NULL),
@@ -47,7 +48,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="output root")
     p.add_argument("--stages", default=None,
                    help=f"comma-separated subset of {ALL_STAGES}, applied in canonical "
-                        f"order (default: all of them)")
+                        f"order (default: {','.join(DEFAULT_STAGES)} — model_filter "
+                        f"is opt-in)")
     p.add_argument("--benchmark", default=None,
                    help="gram table/path (column `gram`) for decontamination")
     p.add_argument("--min-tokens", type=int, default=10)
@@ -166,9 +168,14 @@ def run(spark, args) -> dict[str, int]:
         s = args.model_min_score
         logit_thr = math.log(s / (1.0 - s))
         st = TS.model_quality_wsum(F.col("text"))
+        # zero-token docs score sigmoid(0) = 0.5 by convention — decide them
+        # against the threshold explicitly (the wsum inequality degenerates to
+        # 0 >= 0 at n_tokens == 0 and would keep them at ANY threshold)
         keep = F.coalesce(
-            st["wsum"].cast("double")
-            >= F.lit(logit_thr) * TS.MODEL_WEIGHT_SPAN * st["n_tokens"].cast("double"),
+            F.when(st["n_tokens"] == 0, F.lit(logit_thr <= 0.0))
+            .otherwise(st["wsum"].cast("double")
+                       >= F.lit(logit_thr) * TS.MODEL_WEIGHT_SPAN
+                       * st["n_tokens"].cast("double")),
             F.lit(False))
         staged = docs.withColumn("_keep", keep)
         mark(staged.where(~F.col("_keep")), "model_filter")

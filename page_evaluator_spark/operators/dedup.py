@@ -155,12 +155,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
           .where(F.size("shingles") > 0))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        # shingle sets are per-doc distinct, so count(*) == count(distinct doc)
-        keep = (exploded.groupBy("shingle")
-                .agg(F.count("*").alias("_df"))
-                .where(F.col("_df") <= max_df)
-                .select("shingle"))
-        exploded = exploded.join(keep, "shingle")
+        # shingle sets are per-doc distinct, so count(*) == count(distinct doc).
+        # ANTI-join against the OVER-cap set: the hot list is by construction
+        # tiny (a handful of boilerplate shingles) and broadcasts, whereas a
+        # keep-list of under-cap shingles is the whole vocabulary — corpus-
+        # sized, never broadcastable, forcing a second full shuffle at exactly
+        # the scale the cap exists for.
+        hot = (exploded.groupBy("shingle")
+               .agg(F.count("*").alias("_df"))
+               .where(F.col("_df") > max_df)
+               .select("shingle"))
+        exploded = exploded.join(hot, "shingle", "left_anti")
         sizes = exploded.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
     else:
         # uncapped: set sizes read straight off the arrays, no extra agg

@@ -197,7 +197,7 @@ IVF_FXP = 1 << 20
 
 
 def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
-                         dim: int = 64, id_col: str = "vec_id",
+                         dim: int | None = None, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Seeded, k-means-refined coarse quantizer (VERDICT r3 #3).
 
@@ -211,6 +211,11 @@ def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
     bit-exactly.
     """
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    if dim is None:
+        # derive from the seeds — a hardcoded width would silently truncate
+        # wider embeddings (NULL-padded zip_with cosines) or abort on
+        # narrower ones (ANSI element_at out of bounds)
+        dim = len(cents[0][1])
     base = embeddings.select(F.col(vec_col).alias("v"))
     for _ in range(n_rounds):
         assigned = base.withColumn("cell", ivf_cell_expr(F.col("v"), cents))

@@ -1335,9 +1335,10 @@ WITH enriched AS (
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
-SELECT l.doc_id, CAST(len(l.l) AS INT) AS n_lines,
-       CAST(len(l.l) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
-       md5(coalesce(r.clean, '')) AS clean_md5
+SELECT l.doc_id, CAST(coalesce(len(l.l), 0) AS INT) AS n_lines,
+       CAST(coalesce(len(l.l), 0) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+       -- NULL-text contract (r4): clean stays NULL, counts are 0 (never NULL)
+       CASE WHEN l.l IS NULL THEN NULL ELSE md5(coalesce(r.clean, '')) END AS clean_md5
 FROM ls l LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY l.doc_id
 """

@@ -277,3 +277,57 @@ def test_curation_model_filter_stage(spark, tmp_path):
     assert counts["kept"] == 5 - len(expected_drop)
     with pytest.raises(SystemExit):
         parse_args(["--input", src, "--output", "o", "--model-min-score", "1.5"])
+
+
+def test_boilerplate_strip_oracle_null_text_parity(spark, tmp_path):
+    """The doc_boilerplate_strip DuckDB twin must reproduce the NULL-text
+    contract (clean_md5 NULL, counts 0) — the sf corpora contain no NULL
+    texts, so this injects one and runs BOTH engines."""
+    import duckdb
+
+    from page_evaluator_spark.queries import QUERIES, oracle_sql
+
+    rows = [(i, "shared line\nunique %d" % i, "en") for i in range(1, 7)]
+    rows.append((7, None, "en"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = QUERIES["doc_boilerplate_strip"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")  # Spark writes a dir
+    exp = con.execute(oracle_sql()["doc_boilerplate_strip"]).df()
+    assert len(got) == len(exp) == 7
+    g = got.set_index("doc_id").sort_index()
+    e = exp.set_index("doc_id").sort_index()
+    assert (g["n_lines"].to_numpy() == e["n_lines"].to_numpy()).all()
+    assert (g["n_removed"].to_numpy() == e["n_removed"].to_numpy()).all()
+    gm, em = g["clean_md5"].where(g["clean_md5"].notna(), None), \
+        e["clean_md5"].where(e["clean_md5"].notna(), None)
+    assert list(gm) == list(em)
+    assert gm.loc[7] is None and g.loc[7, "n_lines"] == 0
+
+
+def test_model_filter_zero_token_docs_respect_threshold(spark, tmp_path):
+    """Zero-token docs score sigmoid(0)=0.5 — kept at the default 0.5
+    threshold, dropped above it (the raw wsum inequality would keep them at
+    ANY threshold)."""
+    from jobs.run_curation import parse_args, run
+
+    docs = [("w", "   ", "en"),  # whitespace-only -> 0 tokens, wsum 0
+            ("a", "The quick brown fox jumps over the lazy dog", "en")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id: string, text: string, lang: string") \
+        .write.parquet(src)
+
+    run(spark, parse_args(["--input", src, "--output", str(tmp_path / "o1"),
+                           "--stages", "model_filter"]))
+    audit1 = {r["doc_id"]: r["drop_stage"] for r in
+              spark.read.parquet(str(tmp_path / "o1/curation_audit")).collect()}
+    assert audit1["w"] is None  # 0.5 >= 0.5 -> kept
+
+    run(spark, parse_args(["--input", src, "--output", str(tmp_path / "o2"),
+                           "--stages", "model_filter", "--model-min-score", "0.9"]))
+    audit2 = {r["doc_id"]: r["drop_stage"] for r in
+              spark.read.parquet(str(tmp_path / "o2/curation_audit")).collect()}
+    assert audit2["w"] == "model_filter"  # 0.5 < 0.9 -> dropped

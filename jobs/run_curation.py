@@ -17,9 +17,12 @@ already exposes (and that the driver harness hash-verifies individually):
   spark-submit --py-files pageeval.zip jobs/run_curation.py \
       --input <documents table/path> --output <root> \
       [--stages strip,filter,model_filter,cluster,pack] \
-      [--benchmark <gram table/path>]  # REQUIRED when --stages names decontaminate \
+      [--benchmark <gram table/path>] \
       [--min-tokens 10] [--min-quality 0.4] [--model-min-score 0.5] \
       [--langs en,de,fr,es] [--budget 512] [--quiet]
+
+  --benchmark is REQUIRED whenever --stages names decontaminate (the job
+  errors rather than silently skipping an explicitly requested stage).
 
 Outputs under --output: `clean_docs` (survivors, cleaned text),
 `curation_audit` (every input doc with its drop stage or NULL),

@@ -156,11 +156,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         # shingle sets are per-doc distinct, so count(*) == count(distinct doc).
-        # ANTI-join against the OVER-cap set: the hot list is by construction
-        # tiny (a handful of boilerplate shingles) and broadcasts, whereas a
-        # keep-list of under-cap shingles is the whole vocabulary — corpus-
-        # sized, never broadcastable, forcing a second full shuffle at exactly
-        # the scale the cap exists for.
+        # ANTI-join against the OVER-cap set: its size is bounded by
+        # total_shingle_instances / max_df — orders of magnitude below the
+        # full vocabulary a keep-list carries, usually broadcastable (and when
+        # a tiny cap on a huge corpus makes it exceed the broadcast threshold,
+        # the shuffled anti-join is still strictly cheaper than the keep-list
+        # inner join, which shuffles the whole vocabulary unconditionally).
         hot = (exploded.groupBy("shingle")
                .agg(F.count("*").alias("_df"))
                .where(F.col("_df") > max_df)

@@ -173,6 +173,8 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int,
     k-means rounds (each round = one broadcast-assign projection + one
     groupBy(cell) mean agg — the same primitives, omitted here so results stay
     run-order-independent and SQL-re-derivable)."""
+    if n_cells < 1:
+        raise ValueError(f"ivf_centroids needs n_cells >= 1, got {n_cells}")
     rows = (embeddings.where(F.col(id_col) < n_cells)
             .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("v"))
             .orderBy("cid").collect())
@@ -215,7 +217,13 @@ def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
         # derive from the seeds — a hardcoded width would silently truncate
         # wider embeddings (NULL-padded zip_with cosines) or abort on
         # narrower ones (ANSI element_at out of bounds)
-        dim = len(cents[0][1])
+        dims = {len(v) for _, v in cents}
+        if len(dims) != 1 or 0 in dims:
+            # an empty/ragged seed would set dim=0 (empty refined centroids →
+            # all-NULL cosines downstream) — fail loudly instead
+            raise ValueError(
+                f"cannot infer embedding dim from seed vectors: widths {sorted(dims)}")
+        dim = dims.pop()
     base = embeddings.select(F.col(vec_col).alias("v"))
     for _ in range(n_rounds):
         assigned = base.withColumn("cell", ivf_cell_expr(F.col("v"), cents))

@@ -1414,6 +1414,14 @@ FROM q
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
+# Width of the harness embeddings tables.  The Spark operators infer the
+# width from the data (ivf_kmeans_centroids seeds), but a generated SQL twin
+# must be told it up front — _kmeans_cte emits one sum column per dimension.
+# Any query whose oracle embeds _kmeans_cte must generate it with the dim of
+# the corpus it will run on, or the twin silently truncates/NULLs centroids.
+EMBEDDING_DIM = 64
+
+
 def _queries_df(spark, sf_dir, n: int = 5):
     e = load(spark, sf_dir, "embeddings")
     return e.where(F.col("vec_id") < n).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1477,7 +1485,7 @@ def ivf_ann_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
-def _kmeans_cte(n_cells: int, dim: int = 64) -> str:
+def _kmeans_cte(n_cells: int, dim: int = EMBEDDING_DIM) -> str:
     """SQL twin of similarity.ivf_kmeans_centroids (one round): seed with the
     n_cells lowest-id vectors, assign, recompute per-cell means in fixed-point
     BIGINT sums (bit-identical to Spark's order-independent accumulation),
@@ -1511,7 +1519,7 @@ def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4) -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-), {_kmeans_cte(n_cells)}, asgn AS (
+), {_kmeans_cte(n_cells, EMBEDDING_DIM)}, asgn AS (
   SELECT vec_id, vec, cell_id FROM (
     SELECT v.vec_id, v.vec, c.cell_id,
            row_number() OVER (PARTITION BY v.vec_id
@@ -1606,7 +1614,7 @@ def _semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16) -> str:
     return f"""
 WITH RECURSIVE v AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-), {_kmeans_cte(n_cells)}, asgn AS (
+), {_kmeans_cte(n_cells, EMBEDDING_DIM)}, asgn AS (
   SELECT vec_id, vec, cell_id FROM (
     SELECT v.vec_id, v.vec, c.cell_id,
            row_number() OVER (PARTITION BY v.vec_id

@@ -331,3 +331,19 @@ def test_model_filter_zero_token_docs_respect_threshold(spark, tmp_path):
     audit2 = {r["doc_id"]: r["drop_stage"] for r in
               spark.read.parquet(str(tmp_path / "o2/curation_audit")).collect()}
     assert audit2["w"] == "model_filter"  # 0.5 < 0.9 -> dropped
+
+
+def test_ivf_kmeans_degenerate_inputs_raise(spark):
+    """n_cells < 1 and empty/ragged seed vectors must raise, not silently
+    produce empty centroids (dim=0 would NULL every downstream cosine)."""
+    from page_evaluator_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_kmeans_centroids,
+    )
+
+    e = spark.createDataFrame([(0, []), (1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                              "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="n_cells >= 1"):
+        ivf_centroids(e, 0)
+    with pytest.raises(ValueError, match="infer embedding dim"):
+        ivf_kmeans_centroids(e, 2)  # seed 0 is an empty vector

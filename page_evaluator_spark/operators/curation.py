@@ -277,6 +277,68 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
                     .alias("clean_text")))
 
 
+LM_FXP = 1 << 20  # fixed-point scale for per-token LM costs
+
+
+def unigram_lm_scores(docs: DataFrame, head_nll: float = 6.0, tail_nll: float = 8.0,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality scoring, self-trained: a unigram LM
+    estimated from the corpus itself scores every document by mean negative
+    log-likelihood, and fixed cutoffs bucket docs into head/middle/tail
+    (CCNet trains KenLM offline and buckets by perplexity with per-language
+    cutoffs computed on a sample; the engine shape is identical).
+
+    Scale shape: token explode is PIPELINED (never shuffled raw); the LM
+    "training" is one map-side-combined count aggregate (shuffle carries
+    vocabulary rows, not tokens); the corpus total is a broadcast scalar;
+    scoring joins per-token costs back to the exploded stream on the token
+    key (AQE broadcasts a small vocabulary, shuffles a web-scale one) and
+    reduces to one count+sum row per doc.  Bucketing is a comparison against
+    FIXED thresholds — no global sort/window, the shape that survives 10¹²
+    docs (corpus-relative tercile cutoffs would need a global quantile; run
+    approx_percentile offline to calibrate head_nll/tail_nll, as CCNet does).
+
+    Determinism: per-token cost = floor(−ln(count/total) · 2²⁰) as a LONG, so
+    per-doc sums are exact and order-independent; the final mean divides two
+    exact integers (< 2⁵³) — bit-identical at any parallelism and in DuckDB.
+    (The ln itself is evaluated once per VOCABULARY entry; a 1-ulp libm
+    difference could flip a floor only if −ln(p)·2²⁰ lands within ~1e-10 of
+    an integer — negligible, and confined to one vocab row, not per token.)
+
+    Returns every input doc: (doc_id, n_tokens, nll, lm_bucket); token-less
+    docs carry NULL nll and bucket 'empty'.
+    """
+    from .skew import ensure_min_parallelism
+
+    toks = (ensure_min_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col(text_col)), F.lit(PORTABLE_TOKEN_RE), 0))
+                    .alias("tok")))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = F.broadcast(counts.agg(F.sum("c").alias("_total")))
+    costs = (counts.crossJoin(total)
+             .select("tok", F.floor(-F.log(F.col("c").cast("double")
+                                           / F.col("_total").cast("double"))
+                                    * F.lit(float(LM_FXP))).alias("cost")))
+    per_doc = (toks.join(costs, "tok")
+               .groupBy("doc_id")
+               .agg(F.sum("cost").alias("_sc"),
+                    F.count("*").cast("int").alias("n_tokens")))
+    nll = F.col("_sc").cast("double") / (F.col("n_tokens").cast("double")
+                                         * F.lit(float(LM_FXP)))
+    scored = per_doc.select(
+        "doc_id", "n_tokens", F.round(nll, 6).alias("nll"),
+        F.when(nll < head_nll, "head").when(nll < tail_nll, "middle")
+        .otherwise("tail").alias("lm_bucket"))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "nll",
+                    F.coalesce("lm_bucket", F.lit("empty")).alias("lm_bucket")))
+
+
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Assign docs to training-sequence bins of ~`budget` tokens.

@@ -126,6 +126,38 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", id_col: str 
             .distinct())
 
 
+def cross_corpus_minhash_pairs(new_docs: DataFrame, ref_docs: DataFrame,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               shingle_n: int = 3, num_hashes: int = 16,
+                               bands: int = 4) -> DataFrame:
+    """Near-duplicate candidates BETWEEN two corpora — the incremental-ingest
+    dedup a training pipeline runs daily: does today's crawl duplicate
+    anything already ingested?
+
+    Same MinHash+LSH construction as the self-join variant, but the band join
+    is new × ref only (no self-pairs on either side).  At 100 TB the ref
+    side's signatures are computed ONCE and stored with the corpus — each
+    daily run shuffles only the new crawl's bands against the stored band
+    index (a hash join on band_key; AQE broadcasts a small daily delta).
+
+    Returns (new_id, ref_id) distinct candidate pairs.
+    """
+    def _bands(docs: DataFrame, out: str) -> DataFrame:
+        sigs = minhash_signatures_agg(docs, text_col, id_col, shingle_n, num_hashes)
+        rows_per_band = num_hashes // bands
+        keys = F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col(f"mh_{b * rows_per_band + r}")
+                          for r in range(rows_per_band)])
+            for b in range(bands)])
+        return sigs.select(F.col("doc_id").alias(out),
+                           F.explode(keys).alias("band_key"))
+
+    return (_bands(new_docs, "new_id").join(_bands(ref_docs, "ref_id"), "band_key")
+            .select("new_id", "ref_id")
+            .distinct())
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.0,
                         max_df: int | None = None) -> DataFrame:

@@ -720,6 +720,46 @@ FROM scored
 """
 
 
+def doc_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (r4): self-trained unigram LM, per-doc
+    mean NLL in fixed-point (exact order-independent sums), head/middle/tail
+    buckets by FIXED cutoffs (no global sort — the 10¹²-doc shape; cutoffs
+    calibrated offline, here to the sf corpus terciles)."""
+    from .operators.curation import unigram_lm_scores
+
+    return (unigram_lm_scores(load(spark, sf_dir, "documents"),
+                              head_nll=3.400, tail_nll=3.404)
+            .orderBy("doc_id"))
+
+
+_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (SELECT sum(c) AS t FROM counts),
+costs AS (
+  SELECT tok, CAST(floor(-ln(c / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS cost
+  FROM counts, tot
+), per_doc AS (
+  SELECT doc_id, sum(cost) AS sc, CAST(count(*) AS INT) AS n_tokens
+  FROM toks JOIN costs USING (tok) GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(sc AS DOUBLE) / (n_tokens * 1048576.0) AS nll_raw
+  FROM per_doc
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.nll_raw, 6) AS nll,
+       coalesce(CASE WHEN s.nll_raw < 3.400 THEN 'head'
+                     WHEN s.nll_raw < 3.404 THEN 'middle'
+                     ELSE 'tail' END, 'empty') AS lm_bucket
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def doc_lang_id(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id",
@@ -855,6 +895,34 @@ mh AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus MinHash dedup (r4): does the 'new crawl' (odd doc ids)
+    duplicate anything in the 'already-ingested' corpus (even doc ids)?  The
+    band join is new × ref only — the daily incremental-ingest dedup shape
+    (ref signatures computed once and stored at production scale)."""
+    d = load(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    return (DD.cross_corpus_minhash_pairs(new, ref)
+            .orderBy("new_id", "ref_id"))
+
+
+_CROSS_MINHASH_SQL = _SHINGLE_CTE + r""",
+mh AS (
+  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
+  FROM mh GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+FROM bands n JOIN bands r ON n.band_key = r.band_key
+WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+ORDER BY new_id, ref_id
 """
 
 
@@ -1958,6 +2026,8 @@ QUERIES: dict[str, Query] = {
     # -- new / plan-changed this round (r4) --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
+    "doc_lm_score": doc_lm_score,
+    "dedup_cross_corpus": dedup_cross_corpus,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
@@ -1990,10 +2060,8 @@ QUERIES: dict[str, Query] = {
     "events_asof_last_signup": events_asof_last_signup,
     "events_range_join": events_range_join,
     "events_sessionize": events_sessionize,
-    "events_hopping_window": events_hopping_window,
     # -- text analysis / curation / dedup / similarity --
     "tfidf_top_terms": tfidf_top_terms,
-    "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
@@ -2018,9 +2086,11 @@ QUERIES: dict[str, Query] = {
 # the entry hash-green (or rows-green for the two by-design sketch queries).
 EXTRA_LAST_GREEN: dict[str, str] = {
     "events_session_window": "r3",   # sibling in window: events_sessionize
+    "events_hopping_window": "r3",   # sibling in window: events_sessionize
     "cube_events_dow": "r3",         # sibling in window: grouping_sets_orders
     "media_resized": "r3",           # siblings: media_features/media_frame_sample
     "explode_doc_words": "r3",
+    "doc_token_counts": "r3",        # sibling in window: doc_quality
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2035,9 +2105,11 @@ EXTRA_LAST_GREEN: dict[str, str] = {
 
 EXTRA_QUERIES: dict[str, Query] = {
     "events_session_window": events_session_window,
+    "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
     "explode_doc_words": explode_doc_words,
+    "doc_token_counts": doc_token_counts,
     "anti_customers_no_orders": anti_customers_no_orders,
     "window_order_gaps": window_order_gaps,
     "events_daily_stats": events_daily_stats,
@@ -2105,6 +2177,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _near_dups_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "doc_model_quality": _MODEL_QUALITY_SQL,
+        "doc_lm_score": _LM_SCORE_SQL,
+        "dedup_cross_corpus": _CROSS_MINHASH_SQL,
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

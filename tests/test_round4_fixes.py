@@ -347,3 +347,45 @@ def test_ivf_kmeans_degenerate_inputs_raise(spark):
         ivf_centroids(e, 0)
     with pytest.raises(ValueError, match="infer embedding dim"):
         ivf_kmeans_centroids(e, 2)  # seed 0 is an empty vector
+
+
+def test_unigram_lm_scores_semantics_and_determinism(spark):
+    """Self-trained unigram LM: rare-token docs score strictly higher NLL
+    than common-token docs; token-less docs come back bucket 'empty'; the
+    fixed-point cost sums make nll bit-identical across partitionings."""
+    from page_evaluator_spark.operators.curation import unigram_lm_scores
+
+    rows = [("common%d" % i, "aaa bbb aaa bbb aaa bbb") for i in range(8)]
+    rows += [("rare", "zzz qqq xxx"), ("empty", "   ")]
+    docs = spark.createDataFrame(rows, "doc_id: string, text: string")
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(docs, head_nll=1.0, tail_nll=2.5).collect()}
+    assert len(out) == 10
+    assert out["empty"]["lm_bucket"] == "empty" and out["empty"]["nll"] is None
+    assert out["rare"]["nll"] > out["common0"]["nll"]
+    assert out["common0"]["lm_bucket"] == "head"   # -ln(24/51)~0.75, -ln(27/51)
+    assert out["rare"]["lm_bucket"] == "tail"      # -ln(1/51) ~ 3.93
+
+    a = unigram_lm_scores(docs.repartition(1)).collect()
+    b = unigram_lm_scores(docs.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cross_corpus_minhash_pairs(spark):
+    """Incremental-ingest dedup: a new doc duplicating a ref doc is flagged;
+    near-dups WITHIN one side are not (the join is new x ref only)."""
+    from page_evaluator_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame(
+        [("r1", body), ("r2", body + " tail"), ("r3", "completely different text here")],
+        "doc_id: string, text: string")
+    new = spark.createDataFrame(
+        [("n1", body), ("n2", body), ("n3", "unrelated fresh content entirely new")],
+        "doc_id: string, text: string")
+    pairs = {(r["new_id"], r["ref_id"])
+             for r in cross_corpus_minhash_pairs(new, ref).collect()}
+    assert ("n1", "r1") in pairs and ("n2", "r1") in pairs
+    # n1/n2 duplicate each other but are both NEW — never paired together
+    assert all(a.startswith("n") and b.startswith("r") for a, b in pairs)
+    assert not any(b == "r3" for _, b in pairs)

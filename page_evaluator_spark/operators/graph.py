@@ -1,0 +1,79 @@
+"""Iterative graph ranking for corpus curation.
+
+Web-scale curation pipelines rank domains/URLs by link-graph centrality
+(e.g. Common Crawl ranks its seed list with PageRank/harmonic centrality)
+and use the score as a document-quality prior.  This module implements
+PageRank with ENTIRELY INTEGER arithmetic so results are bit-identical at
+any parallelism and exactly re-derivable in ANSI SQL:
+
+  * rank mass is fixed-point (PR_FXP = 2^40): every node starts with
+    FXP // n units;
+  * a node's per-edge contribution is rank DIV out_degree (integer floor
+    division — deterministic, unlike a double division whose sums would
+    depend on aggregation order);
+  * damping is applied in the integer domain: d·x ≈ (x · d_pct) DIV 100,
+    teleport = (FXP · (100 − d_pct)) DIV (100 · n).
+
+The usual float PageRank is nondeterministic in the last ulps across
+partitionings (double sums are not associative); at 100 TB that means a
+re-run can reorder equal-score tails.  Integer mass makes the operator
+idempotent across retries/cluster sizes — the same property the rest of the
+engine guarantees (md5 sampling, fixed-point k-means).
+
+Scale shape per iteration: one join ranks⋈edges on src (edges pre-cogrouped
+by src at production scale — bucketed storage makes it exchange-free), one
+map-side-combined sum by dst, one left join back to the node list.  A driver
+loop of FIXED iterations (PageRank converges geometrically; 10 rounds ≈
+damping^10 < 0.2% residual), lineage truncated per round exactly like
+connected_components.  Dangling nodes (no out-edges) leak their damped mass
+— the standard simplification, documented; total mass stays bounded so
+integer overflow is impossible (sum ≤ FXP · 0.85 + n · teleport < 2^41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_FXP = 1 << 40
+
+
+def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 iters: int = 10, damping_pct: int = 85) -> DataFrame:
+    """Integer-arithmetic PageRank over a directed edge list.
+
+    Returns (node, rank_i, rank) for every node appearing as src or dst:
+    rank_i = fixed-point integer mass (exact), rank = rank_i / 2^40 rounded
+    to 9 decimals.  Deterministic regardless of partitioning/retries.
+    """
+    from .curation import _truncate_lineage
+
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_i"),
+                            F.lit(0.0).alias("rank"))
+    base = PR_FXP // n
+    teleport = (PR_FXP * (100 - damping_pct)) // (100 * n)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank_i", F.lit(base).cast("long"))
+    for _ in range(iters):
+        contrib = (e.join(deg, "src")
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .select("dst", F.expr("rank_i div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100"))
+                         .cast("long").alias("rank_i")))
+        ranks = _truncate_lineage(ranks)
+    return ranks.select("node", "rank_i",
+                        F.round(F.col("rank_i").cast("double") / PR_FXP, 9)
+                        .alias("rank"))

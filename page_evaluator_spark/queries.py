@@ -898,6 +898,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+def graph_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (r4) over the customer→supplier purchase
+    graph — the link-graph centrality prior web-scale curation uses for
+    URL/domain quality.  All mass is fixed-point integers (rank DIV degree
+    contributions, integer damping), so 10 iterations are bit-deterministic
+    at any parallelism and the DuckDB twin re-derives every round as a
+    generated CTE chain."""
+    from .operators.graph import pagerank_int
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst")))
+    return pagerank_int(edges, iters=10).orderBy("node")
+
+
+def _pagerank_sql(iters: int = 10, damping_pct: int = 85) -> str:
+    """Generated twin of operators/graph.py::pagerank_int: one CTE pair per
+    iteration; all arithmetic in BIGINT floor division, so the match is
+    exact (not approximate)."""
+    from .operators.graph import PR_FXP
+
+    d = damping_pct
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, {PR_FXP} // n AS rk FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+  SELECT e.dst, sum(r.rk // d.deg) AS s
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nds.node,
+         ({PR_FXP} * {100 - d}) // (100 * nn.n) + coalesce(c{i}.s, 0) * {d} // 100 AS rk
+  FROM nodes nds CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nds.node
+)""")
+    parts.append(f"""
+SELECT node, rk AS rank_i, round(CAST(rk AS DOUBLE) / {PR_FXP}, 9) AS rank
+FROM r{iters} ORDER BY node""")
+    return "".join(parts)
+
+
 def dedup_cross_corpus(spark, sf_dir):
     """Cross-corpus MinHash dedup (r4): does the 'new crawl' (odd doc ids)
     duplicate anything in the 'already-ingested' corpus (even doc ids)?  The
@@ -2028,6 +2078,7 @@ QUERIES: dict[str, Query] = {
     "doc_model_quality": doc_model_quality,
     "doc_lm_score": doc_lm_score,
     "dedup_cross_corpus": dedup_cross_corpus,
+    "graph_pagerank": graph_pagerank,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
@@ -2053,7 +2104,6 @@ QUERIES: dict[str, Query] = {
     "broadcast_part_revenue": broadcast_part_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
     "grouping_sets_orders": grouping_sets_orders,
-    "set_ops_customers": set_ops_customers,
     "semi_suppliers_active": semi_suppliers_active,
     "events_value_percentiles": events_value_percentiles,
     "events_distinct_users": events_distinct_users,
@@ -2091,6 +2141,7 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "media_resized": "r3",           # siblings: media_features/media_frame_sample
     "explode_doc_words": "r3",
     "doc_token_counts": "r3",        # sibling in window: doc_quality
+    "set_ops_customers": "r3",       # union/intersect/except family, thrice-green
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2105,6 +2156,7 @@ EXTRA_LAST_GREEN: dict[str, str] = {
 
 EXTRA_QUERIES: dict[str, Query] = {
     "events_session_window": events_session_window,
+    "set_ops_customers": set_ops_customers,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2179,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_model_quality": _MODEL_QUALITY_SQL,
         "doc_lm_score": _LM_SCORE_SQL,
         "dedup_cross_corpus": _CROSS_MINHASH_SQL,
+        "graph_pagerank": _pagerank_sql(),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

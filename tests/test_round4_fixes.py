@@ -389,3 +389,32 @@ def test_cross_corpus_minhash_pairs(spark):
     # n1/n2 duplicate each other but are both NEW — never paired together
     assert all(a.startswith("n") and b.startswith("r") for a, b in pairs)
     assert not any(b == "r3" for _, b in pairs)
+
+
+def test_pagerank_int_properties(spark):
+    """Integer PageRank: a node with many in-links outranks sparse nodes,
+    results are bit-identical across partitionings, one hand-checked round
+    matches, degenerate damping raises."""
+    from page_evaluator_spark.operators.graph import PR_FXP, pagerank_int
+
+    # hub: everyone links to h; plus a chain a->b
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r["node"]: r["rank_i"] for r in pagerank_int(df, iters=10).collect()}
+    assert got["h"] == max(got.values())
+    assert got["h"] > got["b"] > got["a"]  # b gets a's split mass, a only teleport
+
+    # one iteration by hand: n=5 nodes (a b c d h), base=FXP//5,
+    # teleport=(FXP*15)//(100*5)
+    one = {r["node"]: r["rank_i"] for r in pagerank_int(df, iters=1).collect()}
+    base, tel = PR_FXP // 5, (PR_FXP * 15) // (100 * 5)
+    assert one["a"] == tel  # no in-links
+    assert one["b"] == tel + (base // 2) * 85 // 100  # half of a's mass
+    assert one["h"] == tel + (base // 2 + base * 3) * 85 // 100
+
+    d1 = sorted(map(tuple, pagerank_int(df.repartition(1), iters=5).collect()))
+    d7 = sorted(map(tuple, pagerank_int(df.repartition(7), iters=5).collect()))
+    assert d1 == d7
+
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank_int(df, damping_pct=100)

@@ -808,6 +808,114 @@ SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FRO
 """
 
 
+def source_quality_rollup(spark, sf_dir):
+    """Per-source reputation rollup (r4) — the domain-level quality table a
+    curation pipeline maintains to drive source blocklists: doc counts, mean
+    heuristic quality, exact-dup counts and the would-keep rate of the
+    standard gates, one scan + one agg (map-side combined, one shuffle of
+    |sources| rows)."""
+    from .operators.dedup import normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = TS.ws_token_count(F.col("text"))
+    q = TS.quality_score(F.col("text"))
+    canonical = F.min("doc_id").over(
+        Window.partitionBy(F.md5(normalized_text(F.col("text")))))
+    staged = d.select("source", "doc_id", q.alias("q"), n_tok.alias("n_tok"),
+                      canonical.alias("canon"))
+    return (staged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("q"), 4).alias("avg_quality"),
+                 F.sum(F.when(F.col("doc_id") != F.col("canon"), 1).otherwise(0))
+                 .cast("bigint").alias("n_dups"),
+                 F.round(F.avg(F.when((F.col("n_tok") >= 10) & (F.col("q") >= 0.4),
+                                      1.0).otherwise(0.0)), 4).alias("keep_rate"))
+            .orderBy("source"))
+
+
+_SOURCE_ROLLUP_SQL = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+               + 0.3 * least(n_tok / 20.0, 1.0)
+               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                     ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
+           AS q,
+         n_tok,
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+           AS canon
+  FROM (SELECT source, doc_id, text,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        FROM documents)
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(q), 4) AS avg_quality,
+       sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS n_dups,
+       round(avg(CASE WHEN n_tok >= 10 AND q >= 0.4 THEN 1.0 ELSE 0.0 END), 4)
+         AS keep_rate
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+def knn_label_accuracy(spark, sf_dir):
+    """Embedding-space eval (r4): a 10-NN majority-vote classifier over the
+    labeled embeddings — held-out queries (vec_id >= 400) classified by their
+    nearest corpus neighbors' labels (ties → smallest label).  The quality
+    probe a pipeline runs on embeddings before trusting them for semantic
+    dedup/retrieval."""
+    from .operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") < 400)
+    held = (e.where(F.col("vec_id") >= 400)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    nn = brute_force_topk(corpus, held, k=10)
+    votes = (nn.join(corpus.select(F.col("vec_id").alias("neighbor_id"),
+                                   F.col("label").alias("nbr_label")), "neighbor_id")
+             .groupBy("query_id", "nbr_label").agg(F.count("*").alias("v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "nbr_label")
+    pred = (votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("query_id", F.col("nbr_label").alias("pred_label")))
+    truth = e.where(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (truth.join(pred, "query_id")
+            .select("query_id", "true_label", "pred_label",
+                    (F.col("true_label") == F.col("pred_label")).alias("correct"))
+            .orderBy("query_id"))
+
+
+_KNN_SQL = """
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings WHERE vec_id < 400),
+held AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+         FROM embeddings WHERE vec_id >= 400),
+pairs AS (
+  SELECT h.query_id, c.vec_id AS neighbor_id, c.label AS nbr_label,
+         {cos} AS cos
+  FROM held h CROSS JOIN corpus c WHERE c.vec_id <> h.query_id
+), topk AS (
+  SELECT query_id, nbr_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM pairs) WHERE rank <= 10
+), votes AS (
+  SELECT query_id, nbr_label, count(*) AS v FROM topk GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nbr_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY v DESC, nbr_label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT h.query_id, h.true_label, p.pred_label,
+       h.true_label = p.pred_label AS correct
+FROM held h JOIN pred p USING (query_id)
+ORDER BY h.query_id
+"""
+
+
 def lexicon_match_rate(spark, sf_dir):
     """Broadcast dictionary-lookup word matching (the north_star lexicon join)
     over the documents table's token stream."""
@@ -2079,6 +2187,8 @@ QUERIES: dict[str, Query] = {
     "doc_lm_score": doc_lm_score,
     "dedup_cross_corpus": dedup_cross_corpus,
     "graph_pagerank": graph_pagerank,
+    "source_quality_rollup": source_quality_rollup,
+    "knn_label_accuracy": knn_label_accuracy,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
@@ -2106,7 +2216,6 @@ QUERIES: dict[str, Query] = {
     "grouping_sets_orders": grouping_sets_orders,
     "semi_suppliers_active": semi_suppliers_active,
     "events_value_percentiles": events_value_percentiles,
-    "events_distinct_users": events_distinct_users,
     "events_asof_last_signup": events_asof_last_signup,
     "events_range_join": events_range_join,
     "events_sessionize": events_sessionize,
@@ -2115,7 +2224,6 @@ QUERIES: dict[str, Query] = {
     "doc_quality": doc_quality,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
-    "doc_fingerprints": doc_fingerprints,
     "lexicon_match_rate": lexicon_match_rate,
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -2142,6 +2250,8 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "explode_doc_words": "r3",
     "doc_token_counts": "r3",        # sibling in window: doc_quality
     "set_ops_customers": "r3",       # union/intersect/except family, thrice-green
+    "events_distinct_users": "r3",   # sibling in window: events_value_percentiles
+    "doc_fingerprints": "r3",        # sibling in window: doc_winnow_fp
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2157,6 +2267,8 @@ EXTRA_LAST_GREEN: dict[str, str] = {
 EXTRA_QUERIES: dict[str, Query] = {
     "events_session_window": events_session_window,
     "set_ops_customers": set_ops_customers,
+    "events_distinct_users": events_distinct_users,
+    "doc_fingerprints": doc_fingerprints,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2232,6 +2344,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _LM_SCORE_SQL,
         "dedup_cross_corpus": _CROSS_MINHASH_SQL,
         "graph_pagerank": _pagerank_sql(),
+        "source_quality_rollup": _SOURCE_ROLLUP_SQL,
+        "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

@@ -57,3 +57,43 @@ def test_catalog_append_read(spark, tmp_path):
     # idempotent re-commit: same run_id overwrites, not duplicates
     cat.append(df, ref, run_id="c2")
     assert cat.read(ref).count() == 4
+
+
+def test_pageeval_python_datasource(spark, tmp_path):
+    """format('pageeval') (Spark 4 Python DataSource API): per-file format
+    dispatch by extension, deterministic size-balanced input partitions, and
+    pipeline outputs identical to the wholetext compatibility path."""
+    from page_evaluator_spark.plans.pipeline import evaluate_documents
+    from page_evaluator_spark.sources.pagesource import PageEvalDataSource
+
+    (tmp_path / "p1.hocr").write_text(make_hocr([["Quality", "eſti-"], ["mation"]]),
+                                      encoding="utf-8")
+    (tmp_path / "p2.hocr").write_text(make_hocr([["whereunto", "!!"]]), encoding="utf-8")
+    (tmp_path / "a.txt").write_text("is not estima-\ntion now\n", encoding="utf-8")
+    (tmp_path / "weird.dat").write_text("???", encoding="utf-8")
+
+    spark.dataSource.register(PageEvalDataSource)
+    docs = (spark.read.format("pageeval").option("numPartitions", 3)
+            .load(str(tmp_path)))
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == {"p1.hocr", "p2.hocr", "a.txt", "weird.dat"}
+    assert rows["p1.hocr"]["spans"][0]["kind"] == "hocr"
+    assert rows["a.txt"]["spans"][0]["kind"] == "text"
+    assert rows["weird.dat"]["spans"][0]["kind"] == "unknown"
+    assert docs.rdd.getNumPartitions() == 3
+
+    res = evaluate_documents(docs)
+    scores = {r["doc_id"]: r for r in res.page_scores.collect()}
+    assert scores["p1.hocr"]["token_count"] == 2
+    out = [r["text"] for r in
+           res.spans_out.where("doc_id = 'a.txt'").orderBy("ord").collect()]
+    assert out == ["is", "not", "estimation", "now"]
+    # unknown format quarantined (Main.java unsupported-format parity)
+    quar = {r["doc_id"] for r in res.quarantine.collect()}
+    assert "weird.dat" in quar
+
+    # identical rows to the wholetext path for the same hocr files
+    legacy = {r["doc_id"]: r["spans"] for r in
+              read_page_files(spark, str(tmp_path / "*.hocr"), kind="hocr").collect()}
+    for d in ("p1.hocr", "p2.hocr"):
+        assert rows[d]["spans"] == legacy[d]

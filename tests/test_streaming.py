@@ -218,3 +218,54 @@ def test_dropdup_within_watermark_batch_equality_and_resume(spark, tmp_path):
     batch_keys = {r["event_id"] for r in
                   spark.read.parquet(land).dropDuplicates(["event_id"]).collect()}
     assert {r["event_id"] for r in got2.collect()} == batch_keys
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (r4, the Spark-4 arbitrary-state API):
+    per-user totals accumulate across restarts from the checkpoint; the
+    latest emission per user equals a batch recompute over everything."""
+    import datetime as dt
+
+    import pytest
+
+    from page_evaluator_spark.streaming.jobs import run_running_totals_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs the protobuf package "
+                    "(absent in this container, no network to install)")
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    schema = "event_id: long, user_id: long, event_type: string, ts: timestamp, value: double"
+
+    def ev(eid, uid, val):
+        return (eid, uid, "click", t0, float(val))
+
+    spark.createDataFrame([ev(1, 1, 1.5), ev(2, 1, 2.25), ev(3, 2, 10.0)], schema) \
+        .write.mode("append").parquet(land)
+    got1 = {r["user_id"]: r for r in
+            run_running_totals_tws(spark, land, ckpt, out).collect()}
+    assert got1[1]["n_events"] == 2 and got1[1]["sum_value"] == 3.75
+    assert got1[2]["n_events"] == 1 and got1[2]["sum_value"] == 10.0
+
+    # second batch, same checkpoint: user 1's state continues, user 3 is new
+    spark.createDataFrame([ev(4, 1, 0.25), ev(5, 3, 7.0)], schema) \
+        .write.mode("append").parquet(land)
+    all_rows = run_running_totals_tws(spark, land, ckpt, out).collect()
+    latest = {}
+    for r in all_rows:  # append sink keeps both batches' emissions
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]]["n_events"]:
+            latest[r["user_id"]] = r
+    assert latest[1]["n_events"] == 3 and latest[1]["sum_value"] == 4.0
+    assert latest[2]["n_events"] == 1 and latest[3]["sum_value"] == 7.0
+
+    # batch equality over everything landed
+    import pyspark.sql.functions as FF
+    batch = {r["user_id"]: r for r in
+             spark.read.parquet(land).groupBy("user_id")
+             .agg(FF.count("*").alias("n"),
+                  (FF.sum(FF.round(FF.col("value") * 100).cast("long")) / 100.0)
+                  .alias("v")).collect()}
+    for uid, r in latest.items():
+        assert r["n_events"] == batch[uid]["n"] and r["sum_value"] == batch[uid]["v"]

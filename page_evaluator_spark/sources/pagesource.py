@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 PAGE_SCHEMA = ("doc_id string, spans array<struct<"
                "kind:string,text:string,media_ref:string,offset:int>>")
@@ -66,6 +71,9 @@ class PageEvalDataSource(DataSource):
     def reader(self, schema) -> "PageEvalReader":
         return PageEvalReader(self.options)
 
+    def streamReader(self, schema) -> "PageEvalStreamReader":
+        return PageEvalStreamReader(self.options)
+
 
 class PageEvalReader(DataSourceReader):
     def __init__(self, options):
@@ -77,22 +85,72 @@ class PageEvalReader(DataSourceReader):
     def partitions(self):
         # one driver-side listing; deterministic order; greedy balance by
         # size so a few huge pages spread across splits instead of stacking
-        entries = sorted(
-            (os.path.join(self.path, f) for f in os.listdir(self.path)
-             if os.path.isfile(os.path.join(self.path, f))))
-        if not entries:
-            return [_FilesPartition([])]
-        n = min(self.n_parts, len(entries))
-        buckets: list[tuple[int, list[str]]] = [(0, []) for _ in range(n)]
-        for p in sorted(entries, key=lambda p: (-os.path.getsize(p), p)):
-            size, paths = min(buckets, key=lambda b: b[0])
-            i = buckets.index((size, paths))
-            buckets[i] = (size + os.path.getsize(p), paths + [p])
-        return [_FilesPartition(b[1]) for b in buckets if b[1]]
+        entries = [os.path.join(self.path, f) for f in os.listdir(self.path)
+                   if os.path.isfile(os.path.join(self.path, f))]
+        return _balanced(entries, self.n_parts)
 
     def read(self, partition: _FilesPartition):
-        for path in partition.paths:
-            with open(path, encoding="utf-8", errors="replace") as fh:
-                content = fh.read()
-            name = os.path.basename(path)
-            yield (name, [(_kind_for(name), content, None, 0)])
+        return _read_files(partition)
+
+
+def _read_files(partition: _FilesPartition):
+    for path in partition.paths:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            content = fh.read()
+        name = os.path.basename(path)
+        yield (name, [(_kind_for(name), content, None, 0)])
+
+
+def _balanced(paths: list[str], n_parts: int) -> list[_FilesPartition]:
+    """Greedy size-balanced grouping (shared by batch and stream planners)."""
+    if not paths:
+        return [_FilesPartition([])]
+    n = min(n_parts, len(paths))
+    buckets: list[tuple[int, list[str]]] = [(0, []) for _ in range(n)]
+    for p in sorted(paths, key=lambda p: (-os.path.getsize(p), p)):
+        size, group = min(buckets, key=lambda b: b[0])
+        i = buckets.index((size, group))
+        buckets[i] = (size + os.path.getsize(p), group + [p])
+    return [_FilesPartition(b[1]) for b in buckets if b[1]]
+
+
+class PageEvalStreamReader(DataSourceStreamReader):
+    """readStream.format("pageeval") — incremental page-file ingest.
+
+    Offset model: the lexicographic HIGH-WATERMARK of ingested file names.
+    Landing zones conventionally write monotonically named files
+    (timestamped/part-numbered), so "name > watermark" identifies exactly
+    the new arrivals and the offset stays O(1) regardless of corpus size —
+    unlike the built-in file source's seen-file map, which grows without
+    bound at 10¹² files.  CONTRACT (documented): producers must land files
+    with lexicographically increasing names; a file sorting below the
+    watermark is never picked up.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("readStream.format('pageeval') requires .load(<directory>)")
+        self.n_parts = int(options.get("numPartitions", "8"))
+
+    def _names(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.path)
+                      if os.path.isfile(os.path.join(self.path, f)))
+
+    def initialOffset(self):
+        return {"watermark": ""}
+
+    def latestOffset(self):
+        names = self._names()
+        return {"watermark": names[-1] if names else ""}
+
+    def partitions(self, start, end):
+        lo, hi = start["watermark"], end["watermark"]
+        fresh = [os.path.join(self.path, f) for f in self._names() if lo < f <= hi]
+        return _balanced(fresh, self.n_parts)
+
+    def read(self, partition: _FilesPartition):
+        return _read_files(partition)
+
+    def commit(self, end) -> None:
+        pass  # the offset is self-contained; nothing external to clean up

@@ -97,3 +97,40 @@ def test_pageeval_python_datasource(spark, tmp_path):
               read_page_files(spark, str(tmp_path / "*.hocr"), kind="hocr").collect()}
     for d in ("p1.hocr", "p2.hocr"):
         assert rows[d]["spans"] == legacy[d]
+
+
+def test_pageeval_streaming_datasource(spark, tmp_path):
+    """readStream.format('pageeval'): lexicographic-watermark offsets — a
+    second trigger with the same checkpoint ingests ONLY files named above
+    the watermark (O(1) offset state vs the built-in source's seen-file
+    map)."""
+    from page_evaluator_spark.sources.pagesource import PageEvalDataSource
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(PageEvalDataSource)
+
+    def run_once():
+        q = (spark.readStream.format("pageeval").option("numPartitions", 2)
+             .load(str(land))
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    (land / "batch1_a.txt").write_text("alpha beta", encoding="utf-8")
+    (land / "batch1_b.txt").write_text("gamma", encoding="utf-8")
+    got1 = run_once()
+    assert {r["doc_id"] for r in got1.collect()} == {"batch1_a.txt", "batch1_b.txt"}
+
+    (land / "batch2_c.txt").write_text("delta", encoding="utf-8")
+    got2 = run_once()
+    rows = got2.collect()
+    assert {r["doc_id"] for r in rows} == {"batch1_a.txt", "batch1_b.txt", "batch2_c.txt"}
+    assert len(rows) == 3  # batch1 files NOT re-ingested
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["batch2_c.txt"]["spans"][0]["text"] == "delta"
+    assert by_id["batch2_c.txt"]["spans"][0]["kind"] == "text"

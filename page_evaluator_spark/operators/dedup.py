@@ -108,17 +108,24 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text", id_col: str 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_key_array(num_hashes: int, bands: int) -> Column:
+    """Band keys over mh_0..mh_{num_hashes-1} columns — the ONE definition of
+    the band-key format, shared by the self-join and cross-corpus variants
+    (and mirrored by the `bands` CTE of the SQL twins)."""
+    rows_per_band = num_hashes // bands
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)])
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            shingle_n: int = 3, num_hashes: int = 16,
                            bands: int = 4) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via MinHash + banded LSH."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures_agg(docs, text_col, id_col, shingle_n, num_hashes)
-    band_keys = F.array(*[
-        F.concat_ws("|", F.lit(str(b)),
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-        for b in range(bands)])
-    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    banded = sigs.select(
+        "doc_id", F.explode(minhash_band_key_array(num_hashes, bands)).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -144,14 +151,9 @@ def cross_corpus_minhash_pairs(new_docs: DataFrame, ref_docs: DataFrame,
     """
     def _bands(docs: DataFrame, out: str) -> DataFrame:
         sigs = minhash_signatures_agg(docs, text_col, id_col, shingle_n, num_hashes)
-        rows_per_band = num_hashes // bands
-        keys = F.array(*[
-            F.concat_ws("|", F.lit(str(b)),
-                        *[F.col(f"mh_{b * rows_per_band + r}")
-                          for r in range(rows_per_band)])
-            for b in range(bands)])
         return sigs.select(F.col("doc_id").alias(out),
-                           F.explode(keys).alias("band_key"))
+                           F.explode(minhash_band_key_array(num_hashes, bands))
+                           .alias("band_key"))
 
     return (_bands(new_docs, "new_id").join(_bands(ref_docs, "ref_id"), "band_key")
             .select("new_id", "ref_id")

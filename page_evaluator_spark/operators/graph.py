@@ -53,15 +53,20 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct())
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
+    # edges/nodes/degrees are loop-INVARIANT: truncate their lineage once so
+    # the per-round checkpoint actions don't re-execute the upstream joins
+    # and distinct shuffles ten times over
+    e = _truncate_lineage(e)
+    nodes = _truncate_lineage(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node"))).distinct())
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_i"),
                             F.lit(0.0).alias("rank"))
     base = PR_FXP // n
     teleport = (PR_FXP * (100 - damping_pct)) // (100 * n)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = _truncate_lineage(e.groupBy("src").agg(F.count("*").alias("deg")))
     ranks = nodes.withColumn("rank_i", F.lit(base).cast("long"))
     for _ in range(iters):
         contrib = (e.join(deg, "src")

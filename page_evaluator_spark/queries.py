@@ -752,9 +752,10 @@ costs AS (
   FROM per_doc
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.nll_raw, 6) AS nll,
-       coalesce(CASE WHEN s.nll_raw < 3.400 THEN 'head'
-                     WHEN s.nll_raw < 3.404 THEN 'middle'
-                     ELSE 'tail' END, 'empty') AS lm_bucket
+       CASE WHEN s.nll_raw IS NULL THEN 'empty'
+            WHEN s.nll_raw < 3.400 THEN 'head'
+            WHEN s.nll_raw < 3.404 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id
 """

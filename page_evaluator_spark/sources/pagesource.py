@@ -102,29 +102,42 @@ def _read_files(partition: _FilesPartition):
 
 
 def _balanced(paths: list[str], n_parts: int) -> list[_FilesPartition]:
-    """Greedy size-balanced grouping (shared by batch and stream planners)."""
+    """Greedy size-balanced grouping (shared by batch and stream planners):
+    one stat per file, index-based bucket selection."""
     if not paths:
         return [_FilesPartition([])]
-    n = min(n_parts, len(paths))
-    buckets: list[tuple[int, list[str]]] = [(0, []) for _ in range(n)]
-    for p in sorted(paths, key=lambda p: (-os.path.getsize(p), p)):
-        size, group = min(buckets, key=lambda b: b[0])
-        i = buckets.index((size, group))
-        buckets[i] = (size + os.path.getsize(p), group + [p])
-    return [_FilesPartition(b[1]) for b in buckets if b[1]]
+    sized = sorted(((os.path.getsize(p), p) for p in paths),
+                   key=lambda t: (-t[0], t[1]))
+    n = min(n_parts, len(sized))
+    totals = [0] * n
+    groups: list[list[str]] = [[] for _ in range(n)]
+    for size, p in sized:
+        i = min(range(n), key=lambda k: totals[k])
+        totals[i] += size
+        groups[i].append(p)
+    return [_FilesPartition(g) for g in groups if g]
 
 
 class PageEvalStreamReader(DataSourceStreamReader):
     """readStream.format("pageeval") — incremental page-file ingest.
 
-    Offset model: the lexicographic HIGH-WATERMARK of ingested file names.
-    Landing zones conventionally write monotonically named files
-    (timestamped/part-numbered), so "name > watermark" identifies exactly
-    the new arrivals and the offset stays O(1) regardless of corpus size —
-    unlike the built-in file source's seen-file map, which grows without
-    bound at 10¹² files.  CONTRACT (documented): producers must land files
-    with lexicographically increasing names; a file sorting below the
-    watermark is never picked up.
+    Offset model: the lexicographic HIGH-WATERMARK of ingested file names
+    plus an md5 signature of the full name prefix ≤ that watermark.  Landing
+    zones conventionally write monotonically named files (timestamped /
+    part-numbered), so "name > watermark" identifies exactly the new
+    arrivals and the offset stays O(1) regardless of corpus size — unlike
+    the built-in file source's seen-file map, which grows without bound at
+    10¹² files.
+
+    CONTRACT (documented): producers must land files with lexicographically
+    increasing names, and landed files are immutable/undeleted for the
+    stream's lifetime.  partitions() re-derives a batch from the directory,
+    so a crash-replayed batch whose files were deleted (or a late file named
+    below the watermark) would otherwise silently change the replayed data —
+    the prefix signature turns that into a LOUD error instead of quiet row
+    loss (the built-in source pins per-batch file lists in its own log for
+    the same reason; an O(1) offset buys its size by making directory
+    mutation a detected contract violation rather than a tolerated one).
     """
 
     def __init__(self, options):
@@ -137,16 +150,32 @@ class PageEvalStreamReader(DataSourceStreamReader):
         return sorted(f for f in os.listdir(self.path)
                       if os.path.isfile(os.path.join(self.path, f)))
 
+    @staticmethod
+    def _sig(names: list[str]) -> str:
+        import hashlib
+
+        return hashlib.md5("\n".join(names).encode()).hexdigest()
+
     def initialOffset(self):
-        return {"watermark": ""}
+        return {"watermark": "", "sig": self._sig([])}
 
     def latestOffset(self):
         names = self._names()
-        return {"watermark": names[-1] if names else ""}
+        hi = names[-1] if names else ""
+        return {"watermark": hi, "sig": self._sig([f for f in names if f <= hi])}
 
     def partitions(self, start, end):
         lo, hi = start["watermark"], end["watermark"]
-        fresh = [os.path.join(self.path, f) for f in self._names() if lo < f <= hi]
+        names = self._names()
+        prefix = [f for f in names if f <= hi]
+        if self._sig(prefix) != end["sig"]:
+            raise ValueError(
+                f"pageeval landing directory changed under a planned batch "
+                f"(watermark {hi!r}): files at or below the watermark were "
+                f"added, renamed, or deleted — replay would silently return "
+                f"different data.  Landed files must be immutable and new "
+                f"files must sort above the watermark.")
+        fresh = [os.path.join(self.path, f) for f in names if lo < f <= hi]
         return _balanced(fresh, self.n_parts)
 
     def read(self, partition: _FilesPartition):

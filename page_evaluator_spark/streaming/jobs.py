@@ -239,8 +239,13 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
         def close(self) -> None:
             pass
 
+    # set-then-RESTORE: flipping the provider globally would make other
+    # streaming jobs' existing checkpoints (written under the default
+    # HDFS-backed provider) fail to resume in the same session
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     schema = spark.read.parquet(events_dir).schema
     stream = (spark.readStream.schema(schema).parquet(events_dir)
@@ -252,13 +257,19 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
         outputMode="Update",
         timeMode="None",
     )
-    q = (out.writeStream.format("parquet")
-         .outputMode("append")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    try:
+        q = (out.writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
     return spark.read.parquet(out_dir)
 
 

@@ -418,3 +418,56 @@ def test_pagerank_int_properties(spark):
 
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank_int(df, damping_pct=100)
+
+
+def test_lm_score_oracle_empty_doc_parity(spark, tmp_path):
+    """The doc_lm_score twin must bucket token-less docs 'empty' like the
+    Spark side (a CASE with ELSE 'tail' would misbucket them) — the sf
+    corpora have no token-less docs, so inject one and run both engines."""
+    import duckdb
+
+    from page_evaluator_spark.queries import QUERIES, oracle_sql
+
+    rows = [(1, "normal words here", "en"), (2, "   ", "en"), (3, "more text", "en")]
+    spark.createDataFrame(rows, "doc_id: long, text: string, lang: string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["doc_lm_score"](spark, str(tmp_path)).toPandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    exp = con.execute(oracle_sql()["doc_lm_score"]).df().set_index("doc_id")
+    assert list(got["lm_bucket"]) == list(exp["lm_bucket"])
+    assert got.loc[2, "lm_bucket"] == "empty" and got.loc[2, "n_tokens"] == 0
+
+
+def test_pageeval_stream_detects_mutated_landing_dir(spark, tmp_path):
+    """Deleting an already-planned landing file must fail LOUDLY on replay,
+    never silently change the batch contents."""
+    from page_evaluator_spark.sources.pagesource import PageEvalDataSource
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    spark.dataSource.register(PageEvalDataSource)
+    (land / "a1.txt").write_text("one", encoding="utf-8")
+    (land / "a2.txt").write_text("two", encoding="utf-8")
+
+    def run_once(out, ckpt):
+        q = (spark.readStream.format("pageeval").load(str(land))
+             .writeStream.format("parquet").option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once(tmp_path / "o1", tmp_path / "c1")
+    # mutate BELOW the watermark, then start a FRESH stream: planning sees a
+    # prefix that no longer matches the offset signature it just produced…
+    # (simulate the crash-replay case directly via the reader API)
+    from page_evaluator_spark.sources.pagesource import PageEvalStreamReader
+
+    rdr = PageEvalStreamReader({"path": str(land)})
+    end = rdr.latestOffset()
+    (land / "a1.txt").unlink()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="changed under a planned batch"):
+        rdr.partitions(rdr.initialOffset(), end)

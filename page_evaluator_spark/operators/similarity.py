@@ -284,6 +284,93 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
+def pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding is split into m
+    contiguous subspaces; subspace j's codebook is the n_codes lowest-id
+    vectors' j-th subvectors (the same deterministic seeding as
+    ivf_centroids — refinement composes via the ivf_kmeans machinery per
+    subspace, omitted so the SQL twin stays one assignment pass).
+
+    Returns codebooks[j][c] = centroid vector (len dim/m).  A dimension-table
+    collect: m × n_codes × (dim/m) doubles.
+    """
+    seeds = ivf_centroids(embeddings, n_codes, id_col, vec_col)
+    dims = {len(v) for _, v in seeds}
+    if len(dims) != 1 or 0 in dims:
+        raise ValueError(f"ragged/empty seed vectors: widths {sorted(dims)}")
+    dim = dims.pop()
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [[v[j * sub:(j + 1) * sub] for _, v in seeds] for j in range(m)]
+
+
+def _l2_to_lit(sub: Column, const: list[float]) -> Column:
+    """Squared L2 between a subvector and a literal centroid — sequential
+    fold, deterministic, co-expressible in SQL."""
+    c = F.array(*[F.lit(float(x)) for x in const])
+    return F.aggregate(F.zip_with(_to_double(sub), c, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_code_expr(vec: Column, codebook_j: list[list[float]], j: int, sub: int) -> Column:
+    """Subspace j's code: argmin squared-L2 over the inlined codebook
+    (ties → lowest code).  A pure projection — zero shuffle to encode."""
+    subvec = F.slice(_to_double(vec), j * sub + 1, sub)
+    structs = [F.struct(_l2_to_lit(subvec, cv).alias("d"), F.lit(c).alias("c"))
+               for c, cv in enumerate(codebook_j)]
+    return F.array_min(F.array(*structs))["c"]
+
+
+def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                m: int = 8, n_codes: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Product-quantization ANN (ADC — asymmetric distance computation): the
+    memory-bound tier of the vector stack (brute < LSH < IVF < PQ).
+
+    The corpus is ENCODED once — m codes of log2(n_codes) bits per vector
+    (8 bytes here vs 256 bytes of floats: a 32× memory/scan reduction, the
+    property that lets 10¹² vectors fit a cluster's RAM) — by a pure
+    projection against inlined codebooks.  Queries stay exact: the
+    approximate inner product is Σ_j dot(query_subvec_j, codebook_j[code_j])
+    — the reconstruction dot, computed per (query × corpus-code) row with
+    the query side broadcast.  Deterministic end-to-end (sequential folds,
+    argmin tiebreak → lowest code) → exact DuckDB twin; recall is bounded by
+    quantization error, pinned by a recall test vs brute force.
+    """
+    from .skew import ensure_min_parallelism
+
+    cbs = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    sub = len(cbs[0][0])
+    e = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[pq_code_expr(F.col(vec_col), cbs[j], j, sub).alias(f"code_{j}")
+          for j in range(m)])
+    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
+                                   F.col(vec_col).alias("q_vec")))
+    score = None
+    for j in range(m):
+        qsub = F.slice(_to_double(F.col("q_vec")), j * sub + 1, sub)
+        # dot(q_j, codebook_j[code_j]) via a literal array-of-arrays lookup
+        cb_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cbs[j]])
+        term = F.aggregate(
+            F.zip_with(qsub, F.element_at(cb_lit, F.col(f"code_{j}") + 1),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = term if score is None else score + term
+    scored = (e.crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("pq_score", score))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("pq_score", 6).alias("pq_score")))
+
+
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.5,
                          n_cells: int = 16, kmeans_rounds: int = 1,
                          id_col: str = "vec_id", vec_col: str = "embedding"

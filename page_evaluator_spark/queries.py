@@ -1773,6 +1773,66 @@ WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (r4): corpus encoded to m=8 codes by a pure
+    projection (32× smaller scan at 10¹² vectors), queries scored by the
+    reconstruction dot (ADC).  Deterministic → the twin re-derives codebooks,
+    encoding, and scores exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    return (SIM.pq_ann_topk(e, _queries_df(spark, sf_dir), k=10, m=8, n_codes=16)
+            .orderBy("query_id", "rank"))
+
+
+def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = None) -> str:
+    """Generated twin of similarity.pq_ann_topk: per-subspace codebooks from
+    the lowest-id seeds, argmin-L2 encoding, ADC reconstruction-dot scores."""
+    dim = dim or EMBEDDING_DIM
+    sub = dim // m
+
+    def sl(expr: str, j: int) -> str:
+        return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
+
+    def l2(a: str, b: str) -> str:
+        return (f"list_reduce(list_transform(list_zip({a}, {b}),"
+                f" x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)")
+
+    cbs = ",\n".join(
+        f"cb{j} AS (SELECT code, {sl('vec', j)} AS cv FROM seeds)" for j in range(m))
+    assigns = ",\n".join(
+        f"""a{j} AS (
+  SELECT vec_id, code AS code_{j} FROM (
+    SELECT v.vec_id, c.code,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2(sl('v.vec', j), 'c.cv')} ASC, c.code) AS rn
+    FROM v CROSS JOIN cb{j} c) WHERE rn = 1
+)""" for j in range(m))
+    enc_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
+    code_cols = ", ".join(f"code_{j}" for j in range(m))
+    score = " + ".join(_dot_sql(sl("h.qv", j), f"c{j}.cv") for j in range(m))
+    cb_joins = " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}" for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), seeds AS (
+  SELECT CAST(vec_id AS INT) AS code, vec FROM v WHERE vec_id < {n_codes}
+),
+{cbs},
+{assigns},
+enc AS (SELECT a0.vec_id, {code_cols} FROM a0 {enc_joins}),
+held AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT h.query_id, e.vec_id AS neighbor_id, {score} AS s
+  FROM enc e CROSS JOIN held h {cb_joins}
+  WHERE e.vec_id <> h.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS pq_score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _lsh_fold(vec: str, consts: list[float]) -> str:
     """DuckDB expression for the SAME left-to-right double fold Spark's
     aggregate() runs: list_reduce starts from the first product, which is
@@ -2190,6 +2250,7 @@ QUERIES: dict[str, Query] = {
     "graph_pagerank": graph_pagerank,
     "source_quality_rollup": source_quality_rollup,
     "knn_label_accuracy": knn_label_accuracy,
+    "pq_ann_topk": pq_ann_topk,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
@@ -2226,7 +2287,6 @@ QUERIES: dict[str, Query] = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
     "lexicon_match_rate": lexicon_match_rate,
-    "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_near_pairs": simhash_near_pairs,
     "stratified_sample": stratified_sample,
@@ -2253,6 +2313,8 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "set_ops_customers": "r3",       # union/intersect/except family, thrice-green
     "events_distinct_users": "r3",   # sibling in window: events_value_percentiles
     "doc_fingerprints": "r3",        # sibling in window: doc_winnow_fp
+    "dedup_exact": "r3",             # md5-canonical logic also attested by
+                                     # curation_filter_audit + source_quality_rollup
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2270,6 +2332,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "set_ops_customers": set_ops_customers,
     "events_distinct_users": events_distinct_users,
     "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2347,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(),
         "source_quality_rollup": _SOURCE_ROLLUP_SQL,
         "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
+        "pq_ann_topk": _pq_ann_sql(),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

@@ -191,6 +191,16 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int,
     return [(r["cid"], [float(x) for x in r["v"]]) for r in rows]
 
 
+def _seed_dim(vectors) -> int:
+    """Common width of the seed vectors; empty/ragged seeds would silently
+    become dim=0 / truncated math downstream — fail loudly instead."""
+    dims = {len(v) for v in vectors}
+    if len(dims) != 1 or 0 in dims:
+        raise ValueError(
+            f"cannot infer embedding dim from seed vectors: widths {sorted(dims)}")
+    return dims.pop()
+
+
 # fixed-point scale for deterministic k-means centroid means: accumulating
 # sum(floor(x · 2^20)) in LONGS makes the per-cell mean independent of
 # partitioning / summation order — floating-point sums are not associative,
@@ -217,13 +227,7 @@ def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
         # derive from the seeds — a hardcoded width would silently truncate
         # wider embeddings (NULL-padded zip_with cosines) or abort on
         # narrower ones (ANSI element_at out of bounds)
-        dims = {len(v) for _, v in cents}
-        if len(dims) != 1 or 0 in dims:
-            # an empty/ragged seed would set dim=0 (empty refined centroids →
-            # all-NULL cosines downstream) — fail loudly instead
-            raise ValueError(
-                f"cannot infer embedding dim from seed vectors: widths {sorted(dims)}")
-        dim = dims.pop()
+        dim = _seed_dim(v for _, v in cents)
     base = embeddings.select(F.col(vec_col).alias("v"))
     for _ in range(n_rounds):
         assigned = base.withColumn("cell", ivf_cell_expr(F.col("v"), cents))
@@ -284,44 +288,86 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
+def unit_normalize(vec: Column) -> Column:
+    """vec / ||vec|| — deterministic (the norm is a sequential fold, the
+    division per-element), identical in the SQL twins."""
+    n = norm(vec)
+    return F.transform(_to_double(vec), lambda x: x / n)
+
+
 def pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> list[list[list[float]]]:
-    """Product-quantization codebooks: the embedding is split into m
-    contiguous subspaces; subspace j's codebook is the n_codes lowest-id
-    vectors' j-th subvectors (the same deterministic seeding as
-    ivf_centroids — refinement composes via the ivf_kmeans machinery per
-    subspace, omitted so the SQL twin stays one assignment pass).
+    """Product-quantization codebooks over UNIT-NORMALIZED vectors: the
+    embedding is split into m contiguous subspaces; subspace j's codebook is
+    the n_codes lowest-id vectors' j-th (normalized) subvectors — the same
+    deterministic seeding as ivf_centroids (refinement composes via the
+    ivf_kmeans machinery per subspace, omitted so the SQL twin stays one
+    assignment pass).  Normalizing makes the ADC reconstruction dot an
+    approximate COSINE, the metric every other tier of the stack ranks by —
+    without it, recall loss against the brute-force cosine ground truth
+    would conflate quantization error with a plain metric mismatch.
 
     Returns codebooks[j][c] = centroid vector (len dim/m).  A dimension-table
     collect: m × n_codes × (dim/m) doubles.
     """
     seeds = ivf_centroids(embeddings, n_codes, id_col, vec_col)
-    dims = {len(v) for _, v in seeds}
-    if len(dims) != 1 or 0 in dims:
-        raise ValueError(f"ragged/empty seed vectors: widths {sorted(dims)}")
-    dim = dims.pop()
+    dim = _seed_dim(v for _, v in seeds)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    return [[v[j * sub:(j + 1) * sub] for _, v in seeds] for j in range(m)]
+    import math
+
+    # Python's sequential sum + correctly-rounded sqrt/division reproduce the
+    # engine-side unit_normalize fold bit-for-bit (same order, same IEEE ops),
+    # so the inlined codebook literals equal the twin's SQL-derived values
+    normed = []
+    for _, v in seeds:
+        nrm = math.sqrt(sum(x * x for x in v))
+        normed.append([x / nrm for x in v])
+    return [[v[j * sub:(j + 1) * sub] for v in normed] for j in range(m)]
 
 
-def _l2_to_lit(sub: Column, const: list[float]) -> Column:
-    """Squared L2 between a subvector and a literal centroid — sequential
-    fold, deterministic, co-expressible in SQL."""
+def _dot_to_lit(sub: Column, const: list[float]) -> Column:
+    """dot(DOUBLE subvector, literal centroid) — sequential fold,
+    deterministic, co-expressible in SQL."""
     c = F.array(*[F.lit(float(x)) for x in const])
-    return F.aggregate(F.zip_with(_to_double(sub), c, lambda x, y: (x - y) * (x - y)),
+    return F.aggregate(F.zip_with(sub, c, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def pq_code_expr(vec: Column, codebook_j: list[list[float]], j: int, sub: int) -> Column:
-    """Subspace j's code: argmin squared-L2 over the inlined codebook
-    (ties → lowest code).  A pure projection — zero shuffle to encode."""
-    subvec = F.slice(_to_double(vec), j * sub + 1, sub)
-    structs = [F.struct(_l2_to_lit(subvec, cv).alias("d"), F.lit(c).alias("c"))
-               for c, cv in enumerate(codebook_j)]
-    return F.array_min(F.array(*structs))["c"]
+def pq_code_expr(vec: Column, codebook_j: list[list[float]], j: int, sub: int,
+                 dim: int | None = None) -> Column:
+    """Subspace j's code: nearest codeword to the UNIT-NORMALIZED vector's
+    j-th subvector (ties → lowest code).  A pure projection — zero shuffle
+    to encode.
+
+    Computed WITHOUT materializing the normalized vector: for x_n = x/‖x‖,
+    argmin_c ‖x_n[j] − c‖² = argmin_c (‖c‖²·‖x‖ − 2·x[j]·c) — ‖c‖² is a
+    Python constant and x[j]·c a plain fold on the RAW vector, so the norm
+    fold is referenced once per codeword (O(dim) each) instead of inside a
+    transform lambda, where Catalyst would inline and recompute it PER
+    ELEMENT (the O(dim²) nested-array trap winnow_fingerprints documents).
+    The SQL twin orders by the same expression with the same fold shapes, so
+    codes match bit-for-bit.
+
+    When ``dim`` is given, a vector of any other width raises at runtime
+    instead of being silently NULL-padded into code 0 (the silent-truncation
+    class the k-means dim fix eliminated)."""
+    x = _to_double(vec)
+    nrm = norm(vec)
+    subvec = F.slice(x, j * sub + 1, sub)
+    structs = []
+    for c, cv in enumerate(codebook_j):
+        c2 = sum(v * v for v in cv)  # ‖c‖², Python-exact like the SQL fold
+        d = F.lit(float(c2)) * nrm - F.lit(2.0) * _dot_to_lit(subvec, cv)
+        structs.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    code = F.array_min(F.array(*structs))["c"]
+    if dim is None:
+        return code
+    return F.when(F.size(vec) == dim, code).otherwise(
+        F.raise_error(F.concat(F.lit(f"pq encode: expected {dim}-dim vector, got "),
+                               F.size(vec).cast("string"), F.lit(" dims"))))
 
 
 def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -331,35 +377,47 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """Product-quantization ANN (ADC — asymmetric distance computation): the
     memory-bound tier of the vector stack (brute < LSH < IVF < PQ).
 
-    The corpus is ENCODED once — m codes of log2(n_codes) bits per vector
-    (8 bytes here vs 256 bytes of floats: a 32× memory/scan reduction, the
-    property that lets 10¹² vectors fit a cluster's RAM) — by a pure
-    projection against inlined codebooks.  Queries stay exact: the
-    approximate inner product is Σ_j dot(query_subvec_j, codebook_j[code_j])
-    — the reconstruction dot, computed per (query × corpus-code) row with
-    the query side broadcast.  Deterministic end-to-end (sequential folds,
-    argmin tiebreak → lowest code) → exact DuckDB twin; recall is bounded by
-    quantization error, pinned by a recall test vs brute force.
+    The corpus is ENCODED once — m small-int codes per vector (4 information
+    bits each at n_codes=16; byte-packed that is m bytes vs m·(dim/m)·4
+    bytes of floats, a 32× scan reduction here — the property that lets 10¹²
+    vectors fit a cluster's RAM) — by a pure projection against inlined
+    codebooks over unit-normalized vectors.  Scoring is true ADC: each query
+    precomputes an m × n_codes LOOKUP TABLE of sub-dots ONCE (a projection
+    on the tiny broadcast query side), and every (query × corpus) pair costs
+    m array lookups + adds — O(m), not O(dim); the reconstruction dot of
+    normalized vectors approximates their COSINE, the stack's common metric.
+    Deterministic end-to-end (sequential folds, argmin tiebreak → lowest
+    code) → exact DuckDB twin; recall is bounded by quantization error,
+    pinned by a recall test vs brute force.
     """
     from .skew import ensure_min_parallelism
 
     cbs = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
     sub = len(cbs[0][0])
+    dim = m * sub
     e = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
-        *[pq_code_expr(F.col(vec_col), cbs[j], j, sub).alias(f"code_{j}")
+        *[pq_code_expr(F.col(vec_col), cbs[j], j, sub, dim=dim).alias(f"code_{j}")
           for j in range(m)])
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
-                                   F.col(vec_col).alias("q_vec")))
+    # per-query LUTs: lut_j[c] = dot(normalized query subvec j, codebook_j[c]),
+    # computed once per query row before the join
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       unit_normalize(F.col(vec_col)).alias("_qn"),
+                       F.size(vec_col).alias("_qd"))
+    for j in range(m):
+        qsub = F.slice(F.col("_qn"), j * sub + 1, sub)
+        luts = [F.aggregate(
+            F.zip_with(qsub, F.array(*[F.lit(float(x)) for x in cv]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x) for cv in cbs[j]]
+        q = q.withColumn(f"lut_{j}", F.array(*luts))
+    guard = F.when(F.col("_qd") == dim, F.lit(True)).otherwise(
+        F.raise_error(F.concat(F.lit(f"pq query: expected {dim}-dim vector, got "),
+                               F.col("_qd").cast("string"), F.lit(" dims"))))
+    q = F.broadcast(q.where(guard).drop("_qn", "_qd"))
     score = None
     for j in range(m):
-        qsub = F.slice(_to_double(F.col("q_vec")), j * sub + 1, sub)
-        # dot(q_j, codebook_j[code_j]) via a literal array-of-arrays lookup
-        cb_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cbs[j]])
-        term = F.aggregate(
-            F.zip_with(qsub, F.element_at(cb_lit, F.col(f"code_{j}") + 1),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
         score = term if score is None else score + term
     scored = (e.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))

@@ -1792,18 +1792,24 @@ def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = No
     def sl(expr: str, j: int) -> str:
         return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
 
-    def l2(a: str, b: str) -> str:
-        return (f"list_reduce(list_transform(list_zip({a}, {b}),"
-                f" x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)")
+    def sumsq(a: str) -> str:
+        return (f"list_reduce(list_transform({a}, x -> x * x),"
+                f" (acc, x) -> acc + x)")
 
     cbs = ",\n".join(
-        f"cb{j} AS (SELECT code, {sl('vec', j)} AS cv FROM seeds)" for j in range(m))
+        f"cb{j} AS (SELECT code, {sl('vecn', j)} AS cv FROM seeds)" for j in range(m))
+    # assignment orders by the SAME algebraic form as pq_code_expr
+    # (‖c‖²·‖x‖ − 2·x[j]·c — monotone-equal to the normalized L2, avoids
+    # materializing normalized corpus vectors), with identical fold shapes
+    # so codes match bit-for-bit
     assigns = ",\n".join(
         f"""a{j} AS (
   SELECT vec_id, code AS code_{j} FROM (
     SELECT v.vec_id, c.code,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {l2(sl('v.vec', j), 'c.cv')} ASC, c.code) AS rn
+                              ORDER BY ({sumsq('c.cv')}) * sqrt({_dot_sql('v.vec0', 'v.vec0')})
+                                       - 2.0 * ({_dot_sql(sl('v.vec0', j), 'c.cv')}) ASC,
+                                       c.code) AS rn
     FROM v CROSS JOIN cb{j} c) WHERE rn = 1
 )""" for j in range(m))
     enc_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
@@ -1812,14 +1818,16 @@ def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = No
     cb_joins = " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}" for j in range(m))
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  SELECT vec_id, vec0,
+         list_transform(vec0, x -> x / sqrt({_dot_sql('vec0', 'vec0')})) AS vecn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings)
 ), seeds AS (
-  SELECT CAST(vec_id AS INT) AS code, vec FROM v WHERE vec_id < {n_codes}
+  SELECT CAST(vec_id AS INT) AS code, vecn FROM v WHERE vec_id < {n_codes}
 ),
 {cbs},
 {assigns},
 enc AS (SELECT a0.vec_id, {code_cols} FROM a0 {enc_joins}),
-held AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+held AS (SELECT vec_id AS query_id, vecn AS qv FROM v WHERE vec_id < 5),
 scored AS (
   SELECT h.query_id, e.vec_id AS neighbor_id, {score} AS s
   FROM enc e CROSS JOIN held h {cb_joins}

@@ -10,6 +10,10 @@ already exposes (and that the driver harness hash-verifies individually):
   model_filter  model-based quality gate (textstats.model_quality_wsum — the
                 fastText-classifier-shaped linear scorer); OPT-IN: not in the
                 default stage list, enable via --stages
+  lm_filter     LM-perplexity gate (curation.unigram_lm_scores — CCNet shape):
+                drops 'tail'-bucket docs; cutoffs from --lm-head/--lm-tail or,
+                when omitted, calibrated on the input via approx quantiles
+                (curation.calibrate_lm_cutoffs); OPT-IN
   decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
   cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
   pack          token-budget sequence packing (curation.pack_token_budget)
@@ -40,9 +44,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# canonical stage order; model_filter is opt-in (not in the default list)
-ALL_STAGES = ["strip", "filter", "model_filter", "decontaminate", "cluster", "pack"]
-DEFAULT_STAGES = [s for s in ALL_STAGES if s != "model_filter"]
+# canonical stage order; model_filter and lm_filter are opt-in
+ALL_STAGES = ["strip", "filter", "model_filter", "lm_filter",
+              "decontaminate", "cluster", "pack"]
+DEFAULT_STAGES = [s for s in ALL_STAGES if s not in ("model_filter", "lm_filter")]
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -59,6 +64,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-quality", type=float, default=0.4)
     p.add_argument("--model-min-score", type=float, default=0.5,
                    help="model_filter keeps docs with sigmoid score >= this")
+    p.add_argument("--lm-head", type=float, default=None,
+                   help="lm_filter head/middle NLL cutoff (default: calibrated)")
+    p.add_argument("--lm-tail", type=float, default=None,
+                   help="lm_filter middle/tail NLL cutoff (default: calibrated)")
     p.add_argument("--langs", default="en,de,fr,es")
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
@@ -183,6 +192,22 @@ def run(spark, args) -> dict[str, int]:
         staged = docs.withColumn("_keep", keep)
         mark(staged.where(~F.col("_keep")), "model_filter")
         docs = checkpoint_stage(staged.where(F.col("_keep")).drop("_keep"))
+
+    if "lm_filter" in args.stage_list:
+        from page_evaluator_spark.operators.curation import (
+            calibrate_lm_cutoffs,
+            unigram_lm_scores,
+        )
+
+        if args.lm_head is not None and args.lm_tail is not None:
+            head, tail = args.lm_head, args.lm_tail
+        else:
+            # the CCNet 'computed on a sample' step, run on the job's input
+            head, tail = calibrate_lm_cutoffs(docs)
+        buckets = unigram_lm_scores(docs, head_nll=head, tail_nll=tail)
+        bad = buckets.where(F.col("lm_bucket") == "tail").select("doc_id")
+        mark(bad, "lm_filter")
+        docs = checkpoint_stage(docs.join(bad, "doc_id", "left_anti"))
 
     if "decontaminate" in args.stage_list:
         bench = catalog.read(args.benchmark)

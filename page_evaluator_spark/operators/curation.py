@@ -308,6 +308,25 @@ def unigram_lm_scores(docs: DataFrame, head_nll: float = 6.0, tail_nll: float = 
     Returns every input doc: (doc_id, n_tokens, nll, lm_bucket); token-less
     docs carry NULL nll and bucket 'empty'.
     """
+    per_doc = _lm_doc_nll(docs, text_col, id_col)
+    nll = F.col("_sc").cast("double") / (F.col("n_tokens").cast("double")
+                                         * F.lit(float(LM_FXP)))
+    scored = per_doc.select(
+        "doc_id", "n_tokens", F.round(nll, 6).alias("nll"),
+        F.when(nll < head_nll, "head").when(nll < tail_nll, "middle")
+        .otherwise("tail").alias("lm_bucket"))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "nll",
+                    F.coalesce("lm_bucket", F.lit("empty")).alias("lm_bucket")))
+
+
+def _lm_doc_nll(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, _sc fixed-point cost sum, n_tokens) under the self-trained
+    unigram LM — the shared core of scoring and cutoff calibration."""
     from .skew import ensure_min_parallelism
 
     toks = (ensure_min_parallelism(docs)
@@ -321,22 +340,33 @@ def unigram_lm_scores(docs: DataFrame, head_nll: float = 6.0, tail_nll: float = 
              .select("tok", F.floor(-F.log(F.col("c").cast("double")
                                            / F.col("_total").cast("double"))
                                     * F.lit(float(LM_FXP))).alias("cost")))
-    per_doc = (toks.join(costs, "tok")
-               .groupBy("doc_id")
-               .agg(F.sum("cost").alias("_sc"),
-                    F.count("*").cast("int").alias("n_tokens")))
-    nll = F.col("_sc").cast("double") / (F.col("n_tokens").cast("double")
-                                         * F.lit(float(LM_FXP)))
-    scored = per_doc.select(
-        "doc_id", "n_tokens", F.round(nll, 6).alias("nll"),
-        F.when(nll < head_nll, "head").when(nll < tail_nll, "middle")
-        .otherwise("tail").alias("lm_bucket"))
-    base = docs.select(F.col(id_col).alias("doc_id"))
-    return (base.join(scored, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                    "nll",
-                    F.coalesce("lm_bucket", F.lit("empty")).alias("lm_bucket")))
+    return (toks.join(costs, "tok")
+            .groupBy("doc_id")
+            .agg(F.sum("cost").alias("_sc"),
+                 F.count("*").cast("int").alias("n_tokens")))
+
+
+def calibrate_lm_cutoffs(docs: DataFrame, head_frac: float = 1 / 3,
+                         tail_frac: float = 2 / 3, text_col: str = "text",
+                         id_col: str = "doc_id") -> tuple[float, float]:
+    """The CCNet 'cutoffs computed on a sample' step: approximate NLL
+    quantiles of the corpus (approx_percentile sketch — mergeable, one pass,
+    no global sort; run on a sample/partition of the corpus offline) whose
+    outputs feed unigram_lm_scores' FIXED thresholds.  Returns
+    (head_nll, tail_nll), each nudged one ulp ABOVE the quantile: the bucket
+    rule is strict-< and corpora have NLL atoms (many docs share one score),
+    so a cutoff sitting exactly on an atom would otherwise push the whole
+    atom into the worse bucket instead of keeping at-quantile docs."""
+    import math
+
+    per_doc = _lm_doc_nll(docs, text_col, id_col)
+    nll = (F.col("_sc").cast("double")
+           / (F.col("n_tokens").cast("double") * F.lit(float(LM_FXP))))
+    row = (per_doc.select(nll.alias("nll"))
+           .agg(F.percentile_approx("nll", [head_frac, tail_frac], 10_000)
+                .alias("q")).collect()[0])
+    return (math.nextafter(float(row["q"][0]), math.inf),
+            math.nextafter(float(row["q"][1]), math.inf))
 
 
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,

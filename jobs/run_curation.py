@@ -10,10 +10,10 @@ already exposes (and that the driver harness hash-verifies individually):
   model_filter  model-based quality gate (textstats.model_quality_wsum — the
                 fastText-classifier-shaped linear scorer); OPT-IN: not in the
                 default stage list, enable via --stages
-  lm_filter     LM-perplexity gate (curation.unigram_lm_scores — CCNet shape):
-                drops 'tail'-bucket docs; cutoffs from --lm-head/--lm-tail or,
-                when omitted, calibrated on the input via approx quantiles
-                (curation.calibrate_lm_cutoffs); OPT-IN
+  lm_filter     LM-perplexity gate (CCNet shape, curation._lm_doc_nll core):
+                drops docs above the tail NLL cutoff AND token-less docs;
+                cutoff from --lm-tail or, when omitted, calibrated on the
+                input at the 2/3 NLL quantile; OPT-IN
   decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
   cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
   pack          token-budget sequence packing (curation.pack_token_budget)
@@ -64,10 +64,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-quality", type=float, default=0.4)
     p.add_argument("--model-min-score", type=float, default=0.5,
                    help="model_filter keeps docs with sigmoid score >= this")
-    p.add_argument("--lm-head", type=float, default=None,
-                   help="lm_filter head/middle NLL cutoff (default: calibrated)")
     p.add_argument("--lm-tail", type=float, default=None,
-                   help="lm_filter middle/tail NLL cutoff (default: calibrated)")
+                   help="lm_filter drops docs with NLL >= this (default: "
+                        "calibrated at the input's 2/3 NLL quantile)")
     p.add_argument("--langs", default="en,de,fr,es")
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
@@ -85,6 +84,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error(f"unknown stages: {sorted(unknown)}")
     if not 0.0 < args.model_min_score < 1.0:
         p.error("--model-min-score must be in (0, 1) — it is a sigmoid score")
+    if args.lm_tail is not None and args.lm_tail <= 0:
+        p.error("--lm-tail must be positive (it is a mean NLL in nats)")
     if "decontaminate" in stages and not args.benchmark:
         if explicit:
             # an explicitly requested stage must never silently no-op —
@@ -194,18 +195,36 @@ def run(spark, args) -> dict[str, int]:
         docs = checkpoint_stage(staged.where(F.col("_keep")).drop("_keep"))
 
     if "lm_filter" in args.stage_list:
-        from page_evaluator_spark.operators.curation import (
-            calibrate_lm_cutoffs,
-            unigram_lm_scores,
-        )
+        import math
 
-        if args.lm_head is not None and args.lm_tail is not None:
-            head, tail = args.lm_head, args.lm_tail
+        from page_evaluator_spark.operators.curation import LM_FXP, _lm_doc_nll
+
+        # ONE LM pass: the train+score pipeline (token explode, vocab agg,
+        # cost join, per-doc agg) is the most expensive DAG in the job —
+        # persist its per-doc output and derive BOTH the calibration
+        # quantiles and the gate from it (separate calibrate + score calls
+        # would execute it twice, and the audit join a third time)
+        per_doc = _lm_doc_nll(docs).persist()
+        persisted.append(per_doc)
+        nll = (F.col("_sc").cast("double")
+               / (F.col("n_tokens").cast("double") * F.lit(float(LM_FXP))))
+        if args.lm_tail is not None:
+            tail = args.lm_tail
         else:
-            # the CCNet 'computed on a sample' step, run on the job's input
-            head, tail = calibrate_lm_cutoffs(docs)
-        buckets = unigram_lm_scores(docs, head_nll=head, tail_nll=tail)
-        bad = buckets.where(F.col("lm_bucket") == "tail").select("doc_id")
+            row = (per_doc.select(nll.alias("nll"))
+                   .agg(F.percentile_approx("nll", [2.0 / 3.0], 10_000)
+                        .alias("q")).collect()[0])
+            if row["q"] is None:
+                raise ValueError("lm_filter: no tokenized documents to "
+                                 "calibrate against")
+            # exclusive upper bound, nudged above the quantile (NLL atoms)
+            tail = math.nextafter(float(row["q"][0]), math.inf)
+        # tail-bucket docs are dropped; token-less docs have NO likelihood —
+        # dropped too (audited), mirroring model_filter's zero-token decision
+        tail_docs = per_doc.where(nll >= tail).select("doc_id")
+        empty_docs = docs.select("doc_id").join(per_doc.select("doc_id"),
+                                                "doc_id", "left_anti")
+        bad = tail_docs.unionByName(empty_docs)
         mark(bad, "lm_filter")
         docs = checkpoint_stage(docs.join(bad, "doc_id", "left_anti"))
 

@@ -365,6 +365,11 @@ def calibrate_lm_cutoffs(docs: DataFrame, head_frac: float = 1 / 3,
     row = (per_doc.select(nll.alias("nll"))
            .agg(F.percentile_approx("nll", [head_frac, tail_frac], 10_000)
                 .alias("q")).collect()[0])
+    if row["q"] is None:
+        raise ValueError(
+            "calibrate_lm_cutoffs: the corpus yielded no tokenized documents "
+            "(every text NULL/whitespace-only?) — no NLL distribution to "
+            "calibrate against")
     return (math.nextafter(float(row["q"][0]), math.inf),
             math.nextafter(float(row["q"][1]), math.inf))
 

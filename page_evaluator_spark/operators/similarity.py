@@ -288,9 +288,15 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("cosine_sim", 6).alias("cosine_sim")))
 
 
-def unit_normalize(vec: Column) -> Column:
-    """vec / ||vec|| — deterministic (the norm is a sequential fold, the
-    division per-element), identical in the SQL twins."""
+def _unit_normalize_small(vec: Column) -> Column:
+    """vec / ||vec|| — deterministic (sequential-fold norm, per-element
+    division), identical in the SQL twins.
+
+    SMALL SIDES ONLY: the norm fold sits inside the transform lambda, so
+    Catalyst re-evaluates it PER ELEMENT — O(dim²) per row (the documented
+    nested-array recompute trap).  Fine for a broadcast query set; corpus
+    columns must never use this — encode-side code avoids normalization
+    entirely via the algebraic ‖c‖²·‖x‖ − 2·x·c form (pq_code_expr)."""
     n = norm(vec)
     return F.transform(_to_double(vec), lambda x: x / n)
 
@@ -402,15 +408,12 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # per-query LUTs: lut_j[c] = dot(normalized query subvec j, codebook_j[c]),
     # computed once per query row before the join
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       unit_normalize(F.col(vec_col)).alias("_qn"),
+                       _unit_normalize_small(F.col(vec_col)).alias("_qn"),
                        F.size(vec_col).alias("_qd"))
     for j in range(m):
         qsub = F.slice(F.col("_qn"), j * sub + 1, sub)
-        luts = [F.aggregate(
-            F.zip_with(qsub, F.array(*[F.lit(float(x)) for x in cv]),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x) for cv in cbs[j]]
-        q = q.withColumn(f"lut_{j}", F.array(*luts))
+        q = q.withColumn(f"lut_{j}",
+                         F.array(*[_dot_to_lit(qsub, cv) for cv in cbs[j]]))
     guard = F.when(F.col("_qd") == dim, F.lit(True)).otherwise(
         F.raise_error(F.concat(F.lit(f"pq query: expected {dim}-dim vector, got "),
                                F.col("_qd").cast("string"), F.lit(" dims"))))

@@ -510,20 +510,22 @@ def test_pq_ann_recall_and_encoding(spark, sf01_dir):
 
 
 def test_lm_filter_stage_and_calibration(spark, tmp_path):
-    """Opt-in lm_filter: calibrated cutoffs bracket the NLL distribution and
-    the stage drops exactly the tail-bucket docs, audited."""
+    """Opt-in lm_filter: the calibrated tail cutoff drops the
+    out-of-distribution doc, token-less docs are dropped too (no likelihood
+    — mirrors model_filter's zero-token decision), common docs survive, and
+    the flags validate."""
     from jobs.run_curation import parse_args, run
     from page_evaluator_spark.operators.curation import calibrate_lm_cutoffs
 
     rows = [("c%d" % i, "aaa bbb ccc aaa bbb ccc", "en") for i in range(9)]
     rows.append(("rare", "zzz qqq www yyy xxx vvv", "en"))
+    rows.append(("empty", "   ", "en"))
     docs = spark.createDataFrame(rows, "doc_id: string, text: string, lang: string")
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
 
     head, tail = calibrate_lm_cutoffs(docs)
     assert head <= tail
-    # the common docs' NLL sits below the rare doc's — tail cutoff separates
     args = parse_args(["--input", src, "--output", str(tmp_path / "out"),
                        "--stages", "lm_filter"])
     assert args.stage_list == ["lm_filter"]
@@ -531,8 +533,16 @@ def test_lm_filter_stage_and_calibration(spark, tmp_path):
     audit = {r["doc_id"]: r["drop_stage"] for r in
              spark.read.parquet(str(tmp_path / "out/curation_audit")).collect()}
     assert audit["rare"] == "lm_filter"      # the out-of-distribution doc
+    assert audit["empty"] == "lm_filter"     # token-less: no likelihood
     assert audit["c0"] is None               # common docs survive
-    assert counts["kept"] == 10 - sum(1 for v in audit.values() if v)
-    # opt-in: absent from the implicit default list
+    assert counts["kept"] == 11 - sum(1 for v in audit.values() if v)
+    # opt-in: absent from the implicit default list; flag validation
     implicit = parse_args(["--input", src, "--output", "o"])
     assert "lm_filter" not in implicit.stage_list
+    with pytest.raises(SystemExit):
+        parse_args(["--input", src, "--output", "o", "--lm-tail", "-1"])
+    # degenerate corpus: loud error, not a NoneType crash
+    nulls = spark.createDataFrame([("x", None, "en")],
+                                  "doc_id: string, text: string, lang: string")
+    with pytest.raises(ValueError, match="no tokenized documents"):
+        calibrate_lm_cutoffs(nulls)

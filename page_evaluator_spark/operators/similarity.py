@@ -432,6 +432,61 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("pq_score", 6).alias("pq_score")))
 
 
+def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   n_cells: int = 16, nprobe: int = 4, kmeans_rounds: int = 1,
+                   m: int = 8, n_codes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ ANN — the composition production vector stores actually run
+    (FAISS's IVFPQ): the IVF coarse quantizer prunes WHICH vectors are
+    scored (nprobe/n_cells of the corpus), PQ codes shrink WHAT is scanned
+    per candidate (m bytes of codes, not dim floats), ADC LUTs make each
+    scored pair O(m).
+
+    Corpus pass: ONE projection computes the cell id (k-means-refined
+    centroids inlined) and the m PQ codes — zero shuffle; at rest this is
+    the (cell, codes) index a vector store persists.  Query pass: probe the
+    nprobe nearest cells, equi-join on cell (AQE broadcasts the tiny probe
+    side), score candidates via the per-query LUTs.  Fully deterministic →
+    exact DuckDB twin.
+    """
+    from .skew import ensure_min_parallelism
+
+    cents = ivf_kmeans_centroids(embeddings, n_cells, n_rounds=kmeans_rounds,
+                                 id_col=id_col, vec_col=vec_col)
+    cbs = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    sub = len(cbs[0][0])
+    dim = m * sub
+    e = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+        *[pq_code_expr(F.col(vec_col), cbs[j], j, sub, dim=dim).alias(f"code_{j}")
+          for j in range(m)])
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_raw"),
+                       _unit_normalize_small(F.col(vec_col)).alias("_qn"))
+    for j in range(m):
+        qsub = F.slice(F.col("_qn"), j * sub + 1, sub)
+        q = q.withColumn(f"lut_{j}",
+                         F.array(*[_dot_to_lit(qsub, cv) for cv in cbs[j]]))
+    q = F.broadcast(
+        q.withColumn("cell", F.explode(ivf_probe_cells_expr(F.col("q_raw"), cents,
+                                                            nprobe)))
+        .drop("q_raw", "_qn"))
+    score = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    cand = (e.join(q, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("pq_score", score))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("pq_score", 6).alias("pq_score")))
+
+
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.5,
                          n_cells: int = 16, kmeans_rounds: int = 1,
                          id_col: str = "vec_id", vec_col: str = "embedding"

@@ -1841,6 +1841,87 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ ANN (r4) — the FAISS-style production composition: IVF prunes
+    WHICH vectors are scored (nprobe/n_cells), PQ codes shrink WHAT is
+    scanned per candidate, ADC LUTs make each pair O(m).  One corpus
+    projection emits (cell, codes); deterministic end-to-end → the twin
+    re-derives centroids (k-means round), codebooks, encoding, probing and
+    scores."""
+    e = load(spark, sf_dir, "embeddings")
+    return (SIM.ivfpq_ann_topk(e, _queries_df(spark, sf_dir), k=10,
+                               n_cells=16, nprobe=4, kmeans_rounds=1,
+                               m=8, n_codes=16)
+            .orderBy("query_id", "rank"))
+
+
+def _ivfpq_sql(k: int = 10, n_cells: int = 16, nprobe: int = 4, m: int = 8,
+               n_codes: int = 16, dim: int | None = None) -> str:
+    """Generated twin of similarity.ivfpq_ann_topk — composes the k-means
+    cell CTEs with the PQ codebook/encoding CTEs and scores probed-cell
+    candidates by the reconstruction dot."""
+    dim = dim or EMBEDDING_DIM
+    sub = dim // m
+
+    def sl(expr: str, j: int) -> str:
+        return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
+
+    def sumsq(a: str) -> str:
+        return f"list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x)"
+
+    cbs = ",\n".join(
+        f"cb{j} AS (SELECT code, {sl('vecn', j)} AS cv FROM seeds)" for j in range(m))
+    assigns = ",\n".join(
+        f"""a{j} AS (
+  SELECT vec_id, code AS code_{j} FROM (
+    SELECT v.vec_id, c.code,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({sumsq('c.cv')}) * sqrt({_dot_sql('v.vec0', 'v.vec0')})
+                                       - 2.0 * ({_dot_sql(sl('v.vec0', j), 'c.cv')}) ASC,
+                                       c.code) AS rn
+    FROM v CROSS JOIN cb{j} c) WHERE rn = 1
+)""" for j in range(m))
+    enc_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
+    code_cols = ", ".join(f"code_{j}" for j in range(m))
+    score = " + ".join(_dot_sql(sl("p.qv", j), f"c{j}.cv") for j in range(m))
+    cb_joins = " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}" for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT vec_id, vec0 AS vec, vec0,
+         list_transform(vec0, x -> x / sqrt({_dot_sql('vec0', 'vec0')})) AS vecn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings)
+), {_kmeans_cte(n_cells, dim)}, cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cosine_sql('v.vec', 'c.cv')} DESC, c.cell_id) AS rn
+    FROM v CROSS JOIN cent c) WHERE rn = 1
+), seeds AS (
+  SELECT CAST(vec_id AS INT) AS code, vecn FROM v WHERE vec_id < {n_codes}
+),
+{cbs},
+{assigns},
+enc AS (SELECT a0.vec_id, {code_cols} FROM a0 {enc_joins}),
+probes AS (
+  SELECT vec_id AS query_id, vecn AS qv, cell_id FROM (
+    SELECT v.vec_id, v.vecn, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cosine_sql('v.vec', 'c.cv')} DESC, c.cell_id) AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < 5) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id, {score} AS s
+  FROM cells cl JOIN probes p USING (cell_id)
+  JOIN enc e ON e.vec_id = cl.vec_id {cb_joins}
+  WHERE cl.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS pq_score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _lsh_fold(vec: str, consts: list[float]) -> str:
     """DuckDB expression for the SAME left-to-right double fold Spark's
     aggregate() runs: list_reduce starts from the first product, which is
@@ -2259,6 +2340,7 @@ QUERIES: dict[str, Query] = {
     "source_quality_rollup": source_quality_rollup,
     "knn_label_accuracy": knn_label_accuracy,
     "pq_ann_topk": pq_ann_topk,
+    "ivfpq_ann_topk": ivfpq_ann_topk,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
@@ -2305,7 +2387,6 @@ QUERIES: dict[str, Query] = {
     "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
     "lsh_ann_topk": lsh_ann_topk,
-    "embedding_near_dups": embedding_near_dups,
 }
 
 # Parked outside the driver window this round — every one pytest-oracle-
@@ -2323,6 +2404,8 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "doc_fingerprints": "r3",        # sibling in window: doc_winnow_fp
     "dedup_exact": "r3",             # md5-canonical logic also attested by
                                      # curation_filter_audit + source_quality_rollup
+    "embedding_near_dups": "r3",     # sibling in window: lsh_ann_topk (same
+                                     # LSH bucketing) + semantic_dedup (near-dup)
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2341,6 +2424,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "events_distinct_users": events_distinct_users,
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact": dedup_exact,
+    "embedding_near_dups": embedding_near_dups,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2419,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_rollup": _SOURCE_ROLLUP_SQL,
         "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
         "pq_ann_topk": _pq_ann_sql(),
+        "ivfpq_ann_topk": _ivfpq_sql(),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

@@ -546,3 +546,50 @@ def test_lm_filter_stage_and_calibration(spark, tmp_path):
                                   "doc_id: string, text: string, lang: string")
     with pytest.raises(ValueError, match="no tokenized documents"):
         calibrate_lm_cutoffs(nulls)
+
+
+def test_ivfpq_candidates_from_probed_cells_only(spark, sf01_dir):
+    """IVF-PQ (r4): every returned neighbor's cell is among its query's
+    probed cells; the candidate join is an equi-join on cell (no full
+    cross-scan); recall clears the documented floor (measured 0.34)."""
+    from page_evaluator_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cell_expr,
+        ivf_kmeans_centroids,
+        ivf_probe_cells_expr,
+        ivfpq_ann_topk,
+    )
+
+    e = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"),
+                                            "embedding")
+    out = ivfpq_ann_topk(e, q, k=10_000, n_cells=16, nprobe=4, kmeans_rounds=1)
+    rows = out.collect()
+    assert len(rows) > 30
+
+    cents = ivf_kmeans_centroids(e, 16, n_rounds=1)
+    cells = {r["vec_id"]: r["cell"] for r in
+             e.select("vec_id", ivf_cell_expr(F.col("embedding"), cents)
+                      .alias("cell")).collect()}
+    probed = {r["query_id"]: set(r["p"]) for r in q.select(
+        "query_id",
+        ivf_probe_cells_expr(F.col("embedding"), cents, 4).alias("p")).collect()}
+    for r in rows:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
+
+    # recall floor at k=10
+    bs: dict[int, set] = {}
+    for r in brute_force_topk(e, q, k=10).collect():
+        bs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    top = ivfpq_ann_topk(e, q, k=10, kmeans_rounds=1).collect()
+    ps: dict[int, set] = {}
+    for r in top:
+        ps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert sum(len(bs[k] & ps.get(k, set())) / 10 for k in bs) / len(bs) >= 0.25
+
+    # plan: candidate generation is an equi-join keyed by cell
+    df = ivfpq_ann_topk(e, q, k=10, kmeans_rounds=1)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [cell" in plan or "ShuffledHashJoin [cell" in plan \
+        or "SortMergeJoin [cell" in plan, plan[:1200]

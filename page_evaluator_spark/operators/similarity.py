@@ -210,7 +210,9 @@ IVF_FXP = 1 << 20
 
 def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
                          dim: int | None = None, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+                         vec_col: str = "embedding",
+                         seeds: list[tuple[int, list[float]]] | None = None
+                         ) -> list[tuple[int, list[float]]]:
     """Seeded, k-means-refined coarse quantizer (VERDICT r3 #3).
 
     Init = the n_cells lowest-id vectors.  Each round: (1) assign every
@@ -222,7 +224,11 @@ def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
     centroid.  Fully deterministic → the DuckDB twin re-derives the round
     bit-exactly.
     """
-    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    cents = seeds if seeds is not None else \
+        ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    if len(cents) < n_cells:
+        raise ValueError(f"need {n_cells} seed centroids, got {len(cents)}")
+    cents = cents[:n_cells]
     if dim is None:
         # derive from the seeds — a hardcoded width would silently truncate
         # wider embeddings (NULL-padded zip_with cosines) or abort on
@@ -302,7 +308,8 @@ def _unit_normalize_small(vec: Column) -> Column:
 
 
 def pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
-                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seeds: list[tuple[int, list[float]]] | None = None
                  ) -> list[list[list[float]]]:
     """Product-quantization codebooks over UNIT-NORMALIZED vectors: the
     embedding is split into m contiguous subspaces; subspace j's codebook is
@@ -317,7 +324,11 @@ def pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
     Returns codebooks[j][c] = centroid vector (len dim/m).  A dimension-table
     collect: m × n_codes × (dim/m) doubles.
     """
-    seeds = ivf_centroids(embeddings, n_codes, id_col, vec_col)
+    if seeds is None:
+        seeds = ivf_centroids(embeddings, n_codes, id_col, vec_col)
+    if len(seeds) < n_codes:
+        raise ValueError(f"need {n_codes} seed vectors, got {len(seeds)}")
+    seeds = seeds[:n_codes]
     dim = _seed_dim(v for _, v in seeds)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -452,9 +463,13 @@ def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     from .skew import ensure_min_parallelism
 
+    # ONE seed collect serves both quantizers (their default seeding is the
+    # same lowest-id prefix — two separate ivf_centroids calls would run the
+    # identical filter+collect job twice)
+    base_seeds = ivf_centroids(embeddings, max(n_cells, n_codes), id_col, vec_col)
     cents = ivf_kmeans_centroids(embeddings, n_cells, n_rounds=kmeans_rounds,
-                                 id_col=id_col, vec_col=vec_col)
-    cbs = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+                                 id_col=id_col, vec_col=vec_col, seeds=base_seeds)
+    cbs = pq_codebooks(embeddings, m, n_codes, id_col, vec_col, seeds=base_seeds)
     sub = len(cbs[0][0])
     dim = m * sub
     e = ensure_min_parallelism(embeddings).select(
@@ -464,15 +479,20 @@ def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
           for j in range(m)])
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_raw"),
-                       _unit_normalize_small(F.col(vec_col)).alias("_qn"))
+                       _unit_normalize_small(F.col(vec_col)).alias("_qn"),
+                       F.size(vec_col).alias("_qd"))
     for j in range(m):
         qsub = F.slice(F.col("_qn"), j * sub + 1, sub)
         q = q.withColumn(f"lut_{j}",
                          F.array(*[_dot_to_lit(qsub, cv) for cv in cbs[j]]))
+    guard = F.when(F.col("_qd") == dim, F.lit(True)).otherwise(
+        F.raise_error(F.concat(F.lit(f"ivfpq query: expected {dim}-dim vector, got "),
+                               F.col("_qd").cast("string"), F.lit(" dims"))))
     q = F.broadcast(
-        q.withColumn("cell", F.explode(ivf_probe_cells_expr(F.col("q_raw"), cents,
-                                                            nprobe)))
-        .drop("q_raw", "_qn"))
+        q.where(guard)
+        .withColumn("cell", F.explode(ivf_probe_cells_expr(F.col("q_raw"), cents,
+                                                           nprobe)))
+        .drop("q_raw", "_qn", "_qd"))
     score = None
     for j in range(m):
         term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)

@@ -1783,24 +1783,21 @@ def pq_ann_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
-def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = None) -> str:
-    """Generated twin of similarity.pq_ann_topk: per-subspace codebooks from
-    the lowest-id seeds, argmin-L2 encoding, ADC reconstruction-dot scores."""
-    dim = dim or EMBEDDING_DIM
-    sub = dim // m
-
+def _pq_ctes(m: int, sub: int) -> dict:
+    """Shared PQ SQL fragments (codebooks, per-subspace argmin assignment,
+    encoding joins) — ONE definition consumed by both _pq_ann_sql and
+    _ivfpq_sql so the encoding form cannot drift between the twins."""
     def sl(expr: str, j: int) -> str:
         return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
 
     def sumsq(a: str) -> str:
-        return (f"list_reduce(list_transform({a}, x -> x * x),"
-                f" (acc, x) -> acc + x)")
+        return f"list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x)"
 
     cbs = ",\n".join(
         f"cb{j} AS (SELECT code, {sl('vecn', j)} AS cv FROM seeds)" for j in range(m))
     # assignment orders by the SAME algebraic form as pq_code_expr
-    # (‖c‖²·‖x‖ − 2·x[j]·c — monotone-equal to the normalized L2, avoids
-    # materializing normalized corpus vectors), with identical fold shapes
+    # (norm2(c)*norm(x) - 2*x[j].c — monotone-equal to the normalized L2,
+    # avoids materializing normalized corpus vectors), identical fold shapes
     # so codes match bit-for-bit
     assigns = ",\n".join(
         f"""a{j} AS (
@@ -1812,10 +1809,25 @@ def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = No
                                        c.code) AS rn
     FROM v CROSS JOIN cb{j} c) WHERE rn = 1
 )""" for j in range(m))
-    enc_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
-    code_cols = ", ".join(f"code_{j}" for j in range(m))
-    score = " + ".join(_dot_sql(sl("h.qv", j), f"c{j}.cv") for j in range(m))
-    cb_joins = " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}" for j in range(m))
+    return {
+        "cbs": cbs,
+        "assigns": assigns,
+        "enc_joins": " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m)),
+        "code_cols": ", ".join(f"code_{j}" for j in range(m)),
+        "cb_joins": " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}"
+                             for j in range(m)),
+        "qsl": sl,
+    }
+
+
+def _pq_ann_sql(k: int = 10, m: int = 8, n_codes: int = 16, dim: int | None = None) -> str:
+    """Generated twin of similarity.pq_ann_topk: per-subspace codebooks from
+    the lowest-id seeds, argmin encoding (shared _pq_ctes fragments), ADC
+    reconstruction-dot scores."""
+    dim = dim or EMBEDDING_DIM
+    sub = dim // m
+    c = _pq_ctes(m, sub)
+    score = " + ".join(_dot_sql(c["qsl"]("h.qv", j), f"c{j}.cv") for j in range(m))
     return f"""
 WITH v AS (
   SELECT vec_id, vec0,
@@ -1824,13 +1836,13 @@ WITH v AS (
 ), seeds AS (
   SELECT CAST(vec_id AS INT) AS code, vecn FROM v WHERE vec_id < {n_codes}
 ),
-{cbs},
-{assigns},
-enc AS (SELECT a0.vec_id, {code_cols} FROM a0 {enc_joins}),
+{c["cbs"]},
+{c["assigns"]},
+enc AS (SELECT a0.vec_id, {c["code_cols"]} FROM a0 {c["enc_joins"]}),
 held AS (SELECT vec_id AS query_id, vecn AS qv FROM v WHERE vec_id < 5),
 scored AS (
   SELECT h.query_id, e.vec_id AS neighbor_id, {score} AS s
-  FROM enc e CROSS JOIN held h {cb_joins}
+  FROM enc e CROSS JOIN held h {c["cb_joins"]}
   WHERE e.vec_id <> h.query_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS pq_score
@@ -1858,33 +1870,12 @@ def ivfpq_ann_topk(spark, sf_dir):
 def _ivfpq_sql(k: int = 10, n_cells: int = 16, nprobe: int = 4, m: int = 8,
                n_codes: int = 16, dim: int | None = None) -> str:
     """Generated twin of similarity.ivfpq_ann_topk — composes the k-means
-    cell CTEs with the PQ codebook/encoding CTEs and scores probed-cell
-    candidates by the reconstruction dot."""
+    cell CTEs with the shared PQ fragments and scores probed-cell candidates
+    by the reconstruction dot."""
     dim = dim or EMBEDDING_DIM
     sub = dim // m
-
-    def sl(expr: str, j: int) -> str:
-        return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
-
-    def sumsq(a: str) -> str:
-        return f"list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x)"
-
-    cbs = ",\n".join(
-        f"cb{j} AS (SELECT code, {sl('vecn', j)} AS cv FROM seeds)" for j in range(m))
-    assigns = ",\n".join(
-        f"""a{j} AS (
-  SELECT vec_id, code AS code_{j} FROM (
-    SELECT v.vec_id, c.code,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY ({sumsq('c.cv')}) * sqrt({_dot_sql('v.vec0', 'v.vec0')})
-                                       - 2.0 * ({_dot_sql(sl('v.vec0', j), 'c.cv')}) ASC,
-                                       c.code) AS rn
-    FROM v CROSS JOIN cb{j} c) WHERE rn = 1
-)""" for j in range(m))
-    enc_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
-    code_cols = ", ".join(f"code_{j}" for j in range(m))
-    score = " + ".join(_dot_sql(sl("p.qv", j), f"c{j}.cv") for j in range(m))
-    cb_joins = " ".join(f"JOIN cb{j} c{j} ON c{j}.code = e.code_{j}" for j in range(m))
+    c = _pq_ctes(m, sub)
+    score = " + ".join(_dot_sql(c["qsl"]("p.qv", j), f"c{j}.cv") for j in range(m))
     return f"""
 WITH v AS (
   SELECT vec_id, vec0 AS vec, vec0,
@@ -1899,9 +1890,9 @@ WITH v AS (
 ), seeds AS (
   SELECT CAST(vec_id AS INT) AS code, vecn FROM v WHERE vec_id < {n_codes}
 ),
-{cbs},
-{assigns},
-enc AS (SELECT a0.vec_id, {code_cols} FROM a0 {enc_joins}),
+{c["cbs"]},
+{c["assigns"]},
+enc AS (SELECT a0.vec_id, {c["code_cols"]} FROM a0 {c["enc_joins"]}),
 probes AS (
   SELECT vec_id AS query_id, vecn AS qv, cell_id FROM (
     SELECT v.vec_id, v.vecn, c.cell_id,
@@ -1911,7 +1902,7 @@ probes AS (
 ), scored AS (
   SELECT p.query_id, cl.vec_id AS neighbor_id, {score} AS s
   FROM cells cl JOIN probes p USING (cell_id)
-  JOIN enc e ON e.vec_id = cl.vec_id {cb_joins}
+  JOIN enc e ON e.vec_id = cl.vec_id {c["cb_joins"]}
   WHERE cl.vec_id <> p.query_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS pq_score

@@ -273,6 +273,37 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
     return spark.read.parquet(out_dir)
 
 
+def run_stream_static_enrich(spark: SparkSession, events_path: str,
+                             dim_df, key: str = "user_id") -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the remaining streaming-join
+    surface beside the watermarked stream-stream interval join: a streaming
+    fact joined to a bounded dimension (user/source/domain reputation
+    table).  No watermark and no state: the dimension broadcasts to every
+    micro-batch's tasks, so each batch is a map-side hash join — at 10¹²
+    events/day this is exactly how per-event reputation lookup stays
+    shuffle-free.  Run to completion (AvailableNow, memory sink) the result
+    equals the batch join — pinned by test.
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", os.path.basename(events_path))
+              .load(os.path.dirname(events_path)))
+    enriched = (stream.join(F.broadcast(dim_df), key, "left")
+                .groupBy(key, "tier")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (enriched.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
                                     watermark: str = "1 day",
                                     horizon_s: int = 3600) -> DataFrame:

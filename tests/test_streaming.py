@@ -269,3 +269,22 @@ def test_transform_with_state_running_totals(spark, tmp_path):
                   .alias("v")).collect()}
     for uid, r in latest.items():
         assert r["n_events"] == batch[uid]["n"] and r["sum_value"] == batch[uid]["v"]
+
+
+def test_stream_static_broadcast_enrich(spark, sf_dir):
+    """Stream-static broadcast join (r4): streaming events enriched with a
+    bounded dimension equal the batch join run over the same data."""
+    from page_evaluator_spark.streaming.jobs import run_stream_static_enrich
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (events.select("user_id").distinct()
+           .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold")
+                       .otherwise("standard")))
+    got = run_stream_static_enrich(spark, f"{sf_dir}/events.parquet", dim)
+    batch = (events.join(F.broadcast(dim), "user_id", "left")
+             .groupBy("user_id", "tier")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+    g = {(r["user_id"], r["tier"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    b = {(r["user_id"], r["tier"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    assert g == b and len(g) > 0

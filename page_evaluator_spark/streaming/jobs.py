@@ -17,29 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Stream one parquet table file/dir as a file-source stream: the source
+    needs a DIRECTORY, so glob-filter to the one table (shared by every
+    events-stream job below — one place to fix source behavior)."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    return (spark.readStream.format("parquet").schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .load(os.path.dirname(events_path)))
+
+
+def _run_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    uuid-named memory sink and return the materialized table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
 def run_events_daily_availablenow(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming daily event aggregation, run to completion (AvailableNow).
 
     Returns the final aggregate as a batch DataFrame (memory sink).  Matches
     the batch SQL `GROUP BY date_trunc('day', ts), event_type` exactly.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    # the file stream source needs a directory; glob-filter to the one table
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("pathGlobFilter", os.path.basename(events_path))
-              .load(os.path.dirname(events_path)))
+    stream = _read_events_stream(spark, events_path)
     agg = (stream.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
-    name = f"events_daily_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(agg, "events_daily", "complete")
 
 
 def run_scores_stream(spark: SparkSession, docs_path: str,
@@ -79,27 +91,16 @@ def run_session_windows_stream(spark: SparkSession, events_path: str,
     watermark, append mode — only sessions CLOSED by the watermark are
     emitted, matching the batch events_session_window query on closed
     sessions (pinned by test)."""
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("pathGlobFilter", os.path.basename(events_path))
-              .load(os.path.dirname(events_path)))
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    stream = (_read_events_stream(spark, events_path)
+              # watermarks require an instant (LTZ) event-time column, not NTZ
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
     agg = (stream.withWatermark("ts", watermark)
            .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("win"))
            .agg(F.count("*").alias("n_events"),
                 F.round(F.sum("value"), 2).alias("sum_value")))
-    name = f"session_windows_{uuid.uuid4().hex[:8]}"
-    q = (agg.select("user_id", F.col("win.start").alias("session_start"),
-                    F.col("win.end").alias("session_end"), "n_events", "sum_value")
-         .writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    out = agg.select("user_id", F.col("win.start").alias("session_start"),
+                     F.col("win.end").alias("session_end"), "n_events", "sum_value")
+    return _run_to_memory(out, "session_windows", "append")
 
 
 def run_stateful_first_seen(spark: SparkSession, docs_path: str,
@@ -274,34 +275,27 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
 
 
 def run_stream_static_enrich(spark: SparkSession, events_path: str,
-                             dim_df, key: str = "user_id") -> DataFrame:
+                             dim_df: DataFrame, key: str = "user_id",
+                             dim_col: str = "tier") -> DataFrame:
     """Stream-STATIC broadcast enrichment — the remaining streaming-join
     surface beside the watermarked stream-stream interval join: a streaming
-    fact joined to a bounded dimension (user/source/domain reputation
-    table).  No watermark and no state: the dimension broadcasts to every
-    micro-batch's tasks, so each batch is a map-side hash join — at 10¹²
-    events/day this is exactly how per-event reputation lookup stays
-    shuffle-free.  Run to completion (AvailableNow, memory sink) the result
-    equals the batch join — pinned by test.
+    fact LEFT-joined to a bounded dimension (user/source/domain reputation
+    table; stream rows without a dimension match keep flowing with a NULL
+    attribute).  No watermark and no state: the dimension broadcasts to
+    every micro-batch's tasks, so each batch is a map-side hash join — at
+    10¹² events/day this is exactly how per-event reputation lookup stays
+    shuffle-free.  Value sums accumulate in integer cents (micro-batch
+    partial-merge order differs from a batch scan's, so a rounded float sum
+    could flip at half-cent boundaries).  Run to completion the result
+    equals the batch join — pinned by test, incl. the unmatched-key group.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("pathGlobFilter", os.path.basename(events_path))
-              .load(os.path.dirname(events_path)))
+    stream = _read_events_stream(spark, events_path)
     enriched = (stream.join(F.broadcast(dim_df), key, "left")
-                .groupBy(key, "tier")
+                .groupBy(key, dim_col)
                 .agg(F.count("*").alias("n"),
-                     F.round(F.sum("value"), 2).alias("sum_value")))
-    name = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = (enriched.writeStream.format("memory").queryName(name)
-         .outputMode("complete")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+                     (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                     .alias("sum_value")))
+    return _run_to_memory(enriched, "enrich", "complete")
 
 
 def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
@@ -316,13 +310,8 @@ def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
     result equals the batch interval join — the harness pins that with a
     DuckDB twin.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
     def src():
-        return (spark.readStream.format("parquet").schema(schema)
-                .option("pathGlobFilter", os.path.basename(events_path))
-                .load(os.path.dirname(events_path)))
+        return _read_events_stream(spark, events_path)
 
     clicks = (src().where(F.col("event_type") == "click")
               .select("user_id", F.col("event_id").alias("click_id"),
@@ -343,14 +332,7 @@ def run_stream_stream_interval_join(spark: SparkSession, events_path: str,
         "user_id", "click_id", "buy_id",
         (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
         .cast("bigint").alias("delay_s"))
-    name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(out, "ss_join", "append")
 
 
 def run_scores_stream_to_catalog(spark: SparkSession, docs_path: str,
@@ -397,24 +379,12 @@ def run_watermarked_event_windows(spark: SparkSession, events_path: str,
     Append mode: only windows finalized by the watermark are emitted — the
     trailing open window is withheld, which the test asserts explicitly.
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("pathGlobFilter", os.path.basename(events_path))
-              .load(os.path.dirname(events_path)))
-    # watermarks require an instant (LTZ) event-time column, not NTZ
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    stream = (_read_events_stream(spark, events_path)
+              # watermarks require an instant (LTZ) event-time column, not NTZ
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
     agg = (stream.withWatermark("ts", watermark)
            .groupBy(F.window("ts", window).alias("win"), "event_type")
            .agg(F.count("*").alias("n")))
-    name = f"event_windows_{uuid.uuid4().hex[:8]}"
-    q = (agg.select(F.col("win.start").alias("win_start"),
-                    F.col("win.end").alias("win_end"), "event_type", "n")
-         .writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    out = agg.select(F.col("win.start").alias("win_start"),
+                     F.col("win.end").alias("win_end"), "event_type", "n")
+    return _run_to_memory(out, "event_windows", "append")

@@ -273,18 +273,25 @@ def test_transform_with_state_running_totals(spark, tmp_path):
 
 def test_stream_static_broadcast_enrich(spark, sf_dir):
     """Stream-static broadcast join (r4): streaming events enriched with a
-    bounded dimension equal the batch join run over the same data."""
+    bounded dimension equal the batch join over the same data — including
+    the LEFT-join path (users missing from the dimension keep flowing with
+    a NULL tier instead of being dropped)."""
     from page_evaluator_spark.streaming.jobs import run_stream_static_enrich
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the dimension deliberately covers only 2/3 of users
     dim = (events.select("user_id").distinct()
+           .where(F.col("user_id") % 3 != 2)
            .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold")
                        .otherwise("standard")))
     got = run_stream_static_enrich(spark, f"{sf_dir}/events.parquet", dim)
+    cents = F.round(F.col("value") * 100).cast("long")
     batch = (events.join(F.broadcast(dim), "user_id", "left")
              .groupBy("user_id", "tier")
              .agg(F.count("*").alias("n"),
-                  F.round(F.sum("value"), 2).alias("sum_value")))
+                  (F.sum(cents) / 100.0).alias("sum_value")))
     g = {(r["user_id"], r["tier"]): (r["n"], r["sum_value"]) for r in got.collect()}
     b = {(r["user_id"], r["tier"]): (r["n"], r["sum_value"]) for r in batch.collect()}
     assert g == b and len(g) > 0
+    # unmatched users surface with NULL tier — an inner join would drop them
+    assert any(t is None for _, t in g)

@@ -1007,6 +1007,54 @@ ORDER BY doc_a, doc_b
 """
 
 
+def bpe_merges(spark, sf_dir):
+    """Tokenizer training (r4): the first 8 BPE merges learned from the
+    corpus word-frequency table — an iterative Spark job whose per-round
+    state is vocabulary-sized, never the corpus.  Deterministic (integer
+    counts, lexicographic ties, both engines' replace() is leftmost
+    non-overlapping) → the twin re-derives every round as chained CTEs."""
+    from .operators.tokenizer import bpe_merges_df
+
+    return bpe_merges_df(load(spark, sf_dir, "documents"), n_merges=8) \
+        .orderBy("rank")
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Generated twin of operators/tokenizer.py::bpe_train: one (pairs →
+    best → merged-vocab) CTE triple per round."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f""", p{r} AS (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS total
+  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i
+        FROM (SELECT string_split(trim(syms), '  ') AS s, cnt FROM vocab{r - 1})
+        WHERE len(s) >= 2)
+  GROUP BY 1
+), best{r} AS (
+  SELECT pair, total FROM p{r} ORDER BY total DESC, pair LIMIT 1
+), vocab{r} AS (
+  SELECT replace(syms,
+                 ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS syms, cnt
+  FROM vocab{r - 1}, best{r} b
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r - 1} AS rank, pair, replace(pair, ' ', '') AS merged, "
+        f"total AS freq FROM best{r}" for r in range(1, n_merges + 1))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text),
+                '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS word
+  FROM documents
+), vocab0 AS (
+  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS syms, count(*) AS cnt
+  FROM toks GROUP BY 1
+){''.join(rounds)}
+SELECT CAST(rank AS INT) AS rank, pair, merged, freq FROM ({finals})
+ORDER BY rank
+"""
+
+
 def graph_pagerank(spark, sf_dir):
     """Integer-arithmetic PageRank (r4) over the customer→supplier purchase
     graph — the link-graph centrality prior web-scale curation uses for
@@ -2397,6 +2445,7 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # curation_filter_audit + source_quality_rollup
     "embedding_near_dups": "r3",     # sibling in window: lsh_ann_topk (same
                                      # LSH bucketing) + semantic_dedup (near-dup)
+    "bpe_merges": "new r4 (pytest-attested; window candidate next rotation)",
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2416,6 +2465,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact": dedup_exact,
     "embedding_near_dups": embedding_near_dups,
+    "bpe_merges": bpe_merges,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2495,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
         "pq_ann_topk": _pq_ann_sql(),
         "ivfpq_ann_topk": _ivfpq_sql(),
+        "bpe_merges": _bpe_sql(),
         "html_main_content": _html_main_sql(),
         "media_features": _media_sql(),
         "media_resized": _media_resized_sql(),

@@ -593,3 +593,46 @@ def test_ivfpq_candidates_from_probed_cells_only(spark, sf01_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [cell" in plan or "ShuffledHashJoin [cell" in plan \
         or "SortMergeJoin [cell" in plan, plan[:1200]
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """BPE training (r4): the learned merge table equals a pure-Python
+    reference implementation (word-frequency table, greedy leftmost merge,
+    lexicographic ties) on the classic low/lower/newest corpus — including
+    run handling ('aaa' merges leftmost-first) and the merge order."""
+    import collections
+    import re
+
+    from page_evaluator_spark.operators.tokenizer import bpe_train
+
+    text = "low lower lowest low low new newer newest new low new aaa"
+    docs = spark.createDataFrame([(1, text)], "doc_id: int, text: string")
+    got = bpe_train(docs, n_merges=8)
+
+    words = collections.Counter(re.findall(r"[a-z]+", text))
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rank in range(8):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        pair = sorted(" ".join(k) for k, v in pc.items() if v == m)[0]
+        a, b = pair.split(" ")
+        merges.append((rank, pair, a + b, m))
+        newv: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            newv[tuple(out)] = newv.get(tuple(out), 0) + c
+        vocab = newv
+    assert got == merges

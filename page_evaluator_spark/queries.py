@@ -332,7 +332,7 @@ FROM orders GROUP BY 1, 2
 def pivot_event_counts(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     kinds = ["click", "view", "signup", "purchase", "error"]
-    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+    return (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
             .pivot("event_type", kinds).count()
             .na.fill(0, kinds))
 
@@ -408,7 +408,8 @@ FROM events GROUP BY event_type
 
 def events_daily_stats(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+    return (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                       "event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("value"), 4).alias("avg_value"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
@@ -824,13 +825,23 @@ def source_quality_rollup(spark, sf_dir):
         Window.partitionBy(F.md5(normalized_text(F.col("text")))))
     staged = d.select("source", "doc_id", q.alias("q"), n_tok.alias("n_tok"),
                       canonical.alias("canon"))
+    # Fixed-point doctrine (LM_FXP/IVF_FXP/PR_FXP siblings): q is already
+    # rounded to 6 decimals, so floor(q*1e6 + 0.5) is an exact integer in
+    # both engines and the mean is a sum of longs + ONE double division —
+    # bit-deterministic at any partitioning, unlike avg() over doubles.
+    q_fx = F.floor(F.col("q") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    keep = F.when((F.col("n_tok") >= 10) & (F.col("q") >= 0.4), 1).otherwise(0)
     return (staged.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
-                 F.round(F.avg("q"), 4).alias("avg_quality"),
+                 F.sum(q_fx).alias("_qfx"),
                  F.sum(F.when(F.col("doc_id") != F.col("canon"), 1).otherwise(0))
                  .cast("bigint").alias("n_dups"),
-                 F.round(F.avg(F.when((F.col("n_tok") >= 10) & (F.col("q") >= 0.4),
-                                      1.0).otherwise(0.0)), 4).alias("keep_rate"))
+                 F.sum(keep).cast("long").alias("_keep"))
+            .select("source", "n_docs",
+                    F.round(F.col("_qfx") / (F.col("n_docs") * F.lit(1e6)), 4)
+                    .alias("avg_quality"),
+                    "n_dups",
+                    F.round(F.col("_keep") / F.col("n_docs"), 4).alias("keep_rate"))
             .orderBy("source"))
 
 
@@ -854,10 +865,11 @@ WITH base AS (
         FROM documents)
 )
 SELECT source, count(*) AS n_docs,
-       round(avg(q), 4) AS avg_quality,
-       sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS n_dups,
-       round(avg(CASE WHEN n_tok >= 10 AND q >= 0.4 THEN 1.0 ELSE 0.0 END), 4)
-         AS keep_rate
+       round(CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             / (count(*) * 1000000.0), 4) AS avg_quality,
+       CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       round(CAST(sum(CASE WHEN n_tok >= 10 AND q >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 4) AS keep_rate
 FROM base GROUP BY source ORDER BY source
 """
 
@@ -1040,7 +1052,7 @@ def _bpe_sql(n_merges: int = 8) -> str:
 )""")
     finals = "\nUNION ALL\n".join(
         f"SELECT {r - 1} AS rank, pair, replace(pair, ' ', '') AS merged, "
-        f"total AS freq FROM best{r}" for r in range(1, n_merges + 1))
+        f"CAST(total AS BIGINT) AS freq FROM best{r}" for r in range(1, n_merges + 1))
     return rf"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text),
@@ -1100,7 +1112,8 @@ r0 AS (SELECT node, {PR_FXP} // n AS rk FROM nodes, nn)"""]
   FROM nodes nds CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nds.node
 )""")
     parts.append(f"""
-SELECT node, rk AS rank_i, round(CAST(rk AS DOUBLE) / {PR_FXP}, 9) AS rank
+SELECT node, CAST(rk AS BIGINT) AS rank_i,
+       round(CAST(rk AS DOUBLE) / {PR_FXP}, 9) AS rank
 FROM r{iters} ORDER BY node""")
     return "".join(parts)
 

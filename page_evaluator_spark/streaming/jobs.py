@@ -49,7 +49,10 @@ def run_events_daily_availablenow(spark: SparkSession, events_path: str) -> Data
     the batch SQL `GROUP BY date_trunc('day', ts), event_type` exactly.
     """
     stream = _read_events_stream(spark, events_path)
-    agg = (stream.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+    # .cast("date") matches the DuckDB twin (date_trunc returns DATE there);
+    # complete-mode agg, so no event-time watermark tag is needed on the key.
+    agg = (stream.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                          "event_type")
            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
     return _run_to_memory(agg, "events_daily", "complete")
 

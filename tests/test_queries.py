@@ -42,6 +42,48 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
+# --- dtype parity (r5) -------------------------------------------------------
+# The driver's value-hash is TYPE-sensitive; pytest used to compare Python
+# values only, so an oracle twin emitting HUGEINT where Spark emits BIGINT
+# (DuckDB sum(BIGINT) -> HUGEINT) was invisible locally but red in
+# CORRECTNESS (r4: graph_pagerank, source_quality_rollup).  Canonicalize both
+# engines' result types to a common token form and require exact equality, so
+# any future HUGEINT/DECIMAL/INT32-vs-INT64 twin drift fails in pytest first.
+import re
+
+_DUCK_TOKENS = {
+    "hugeint": "int128", "ubigint": "uint64", "bigint": "int64",
+    "integer": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32", "real": "float32",
+    "varchar": "str", "boolean": "bool", "blob": "binary",
+}
+_SPARK_TOKENS = {
+    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32", "string": "str",
+    "boolean": "bool", "timestamp_ntz": "timestamp",
+}
+
+
+def _canon_type(s: str, tokens: dict) -> str:
+    s = s.lower().replace("timestamp with time zone", "timestamp")
+    # DuckDB list syntax X[] -> array<X> (loop handles nesting)
+    prev = None
+    while prev != s:
+        prev = s
+        s = re.sub(r"(\w+(?:\([^()]*\))?)\[\]", r"array<\1>", s)
+    return re.sub(r"[a-z_]\w*",
+                  lambda m: tokens.get(m.group(0), m.group(0)), s).replace(" ", "")
+
+
+def _assert_dtype_parity(spark_df, rel, name: str):
+    spark_types = {f.name: _canon_type(f.dataType.simpleString(), _SPARK_TOKENS)
+                   for f in spark_df.schema.fields}
+    duck_types = {c: _canon_type(str(t), _DUCK_TOKENS)
+                  for c, t in zip(rel.columns, rel.types)}
+    assert spark_types == duck_types, (
+        f"{name}: engine/oracle dtype drift\n  spark: {spark_types}\n  duck:  {duck_types}")
+
+
 def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(oracle_pdf), \
         f"{name}: row count {len(spark_pdf)} != {len(oracle_pdf)}"
@@ -78,8 +120,11 @@ def test_registry_is_exactly_the_driver_window():
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_query_vs_oracle(spark, ddb, sf01_dir, name):
-    got = ALL_QUERIES[name](spark, sf01_dir).toPandas()
-    exp = ddb.execute(ORACLE[name]).df()
+    sdf = ALL_QUERIES[name](spark, sf01_dir)
+    rel = ddb.sql(ORACLE[name])
+    _assert_dtype_parity(sdf, rel, name)
+    got = sdf.toPandas()
+    exp = rel.df()
     _compare(got, exp, name)
 
 

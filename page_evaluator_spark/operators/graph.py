@@ -26,8 +26,10 @@ map-side-combined sum by dst, one left join back to the node list.  A driver
 loop of FIXED iterations (PageRank converges geometrically; 10 rounds ≈
 damping^10 < 0.2% residual), lineage truncated per round exactly like
 connected_components.  Dangling nodes (no out-edges) leak their damped mass
-— the standard simplification, documented; total mass stays bounded so
-integer overflow is impossible (sum ≤ FXP · 0.85 + n · teleport < 2^41).
+by default — the standard simplification; `redistribute_dangling=True`
+instead damps and uniformly reshares that mass each round (one extra
+anti-join + scalar sum, still all-integer).  Either way total mass stays
+bounded so integer overflow is impossible (sum ≤ FXP + n · teleport < 2^42).
 """
 
 from __future__ import annotations
@@ -39,13 +41,22 @@ PR_FXP = 1 << 40
 
 
 def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
-                 iters: int = 10, damping_pct: int = 85) -> DataFrame:
+                 iters: int = 10, damping_pct: int = 85,
+                 redistribute_dangling: bool = False) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
     Returns (node, rank_i, rank) for every node appearing as src or dst:
     rank_i = fixed-point integer mass (exact), rank = rank_i / 2^40 rounded
     to 9 decimals.  Deterministic regardless of partitioning/retries.
-    """
+
+    redistribute_dangling=True adds the standard dangling-node correction:
+    each round, the total rank mass sitting on nodes with no out-edges is
+    damped and shared uniformly (integer floor division) across all nodes,
+    instead of leaking.  Cost: one extra left-anti + global sum per round —
+    the sum is a single fixed-point long, carried as a 1-row DataFrame
+    cross-join so the round still executes as ONE action (the lineage
+    truncation).  On a graph with no dangling nodes both modes are
+    bit-identical (pinned by test)."""
     from .curation import _truncate_lineage
 
     if not 0 < damping_pct < 100:
@@ -73,10 +84,23 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .select("dst", F.expr("rank_i div deg").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
-        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+        extra = F.lit(0).cast("long")
+        ranks_next = nodes.join(contrib.withColumnRenamed("dst", "node"),
+                                "node", "left")
+        if redistribute_dangling:
+            # total mass on out-degree-0 nodes: |dangling| ≤ |nodes| rows
+            # anti-joined against the degree table, summed to ONE long row
+            dangling_mass = (ranks.join(deg.withColumnRenamed("src", "node"),
+                                        "node", "left_anti")
+                             .agg(F.coalesce(F.sum("rank_i"), F.lit(0))
+                                  .cast("long").alias("dm")))
+            ranks_next = ranks_next.crossJoin(F.broadcast(dangling_mass))
+            extra = F.expr(f"dm * {damping_pct} div (100 * {n}L)")
+        ranks = (ranks_next
                  .select("node",
                          (F.lit(teleport)
-                          + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100"))
+                          + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+                          + extra)
                          .cast("long").alias("rank_i")))
         ranks = _truncate_lineage(ranks)
     return ranks.select("node", "rank_i",

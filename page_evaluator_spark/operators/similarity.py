@@ -188,6 +188,17 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int,
             f"ivf_centroids seeds from the {n_cells} lowest integer ids and "
             f"found only {len(rows)} vectors with {id_col} < {n_cells}; the "
             f"corpus must contain dense ids 0..{n_cells - 1}")
+    # ADVICE r4: a zero-norm seed makes cosine-to-centroid NaN, and the two
+    # engines ORDER NaN differently (Spark's array_min sorts it last, the
+    # DuckDB twin's ORDER BY ... DESC sorts it first), silently breaking
+    # parity; pq_codebooks would divide by the zero norm outright.  One
+    # guard here protects all three consumers.
+    zero = [r["cid"] for r in rows if not any(x != 0.0 for x in r["v"])]
+    if zero:
+        raise ValueError(
+            f"ivf_centroids: zero-norm seed vector(s) at {id_col} {zero}; "
+            f"cosine against a zero vector is NaN and engine NaN ordering "
+            f"diverges — drop or re-id these rows before indexing")
     return [(r["cid"], [float(x) for x in r["v"]]) for r in rows]
 
 
@@ -249,10 +260,22 @@ def ivf_kmeans_centroids(embeddings: DataFrame, n_cells: int, n_rounds: int = 1,
                 new_cents.append((cid, old))
             else:
                 # float()/float() mirrors the twin's DOUBLE/DOUBLE division
-                # (both operands < 2^53 → conversions are exact)
+                # (both operands < 2^53 → conversions are exact).  ADVICE r4:
+                # that invariant is only true while |sum| < 2^53 — a ~10^9-row
+                # cell with |x|~10^3 components would pass it silently, so
+                # fail loudly instead of losing bit-parity.
                 denom = float(int(r["n"]) * IVF_FXP)
-                new_cents.append((cid, [float(int(r[f"s{i}"])) / denom
-                                        for i in range(dim)]))
+                sums = []
+                for i in range(dim):
+                    s = int(r[f"s{i}"])
+                    if abs(s) >= 1 << 53 or int(r["n"]) * IVF_FXP >= 1 << 53:
+                        raise ValueError(
+                            f"ivf_kmeans_centroids: fixed-point sum {s} (cell "
+                            f"{cid}, component {i}, n={r['n']}) exceeds 2^53; "
+                            f"exact long->double conversion no longer holds — "
+                            f"lower IVF_FXP or shard the corpus")
+                    sums.append(s)
+                new_cents.append((cid, [float(s) / denom for s in sums]))
         cents = new_cents
     return cents
 

@@ -845,8 +845,7 @@ def source_quality_rollup(spark, sf_dir):
             .orderBy("source"))
 
 
-_SOURCE_ROLLUP_SQL = r"""
-WITH base AS (
+_ROLLUP_BASE_CTE = r"""base AS (
   SELECT source, doc_id,
          round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
                + 0.3 * least(n_tok / 20.0, 1.0)
@@ -863,15 +862,19 @@ WITH base AS (
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
         FROM documents)
-)
+)"""
+
+_ROLLUP_SELECT = r"""
 SELECT source, count(*) AS n_docs,
        round(CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
              / (count(*) * 1000000.0), 4) AS avg_quality,
        CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
        round(CAST(sum(CASE WHEN n_tok >= 10 AND q >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
              / count(*), 4) AS keep_rate
-FROM base GROUP BY source ORDER BY source
-"""
+FROM base GROUP BY source"""
+
+_SOURCE_ROLLUP_SQL = ("WITH " + _ROLLUP_BASE_CTE + _ROLLUP_SELECT
+                      + " ORDER BY source\n")
 
 
 def knn_label_accuracy(spark, sf_dir):
@@ -887,6 +890,13 @@ def knn_label_accuracy(spark, sf_dir):
     held = (e.where(F.col("vec_id") >= 400)
             .select(F.col("vec_id").alias("query_id"), "embedding"))
     nn = brute_force_topk(corpus, held, k=10)
+    return _knn_verdict(nn, corpus, e)
+
+
+def _knn_verdict(nn, corpus, e):
+    """Majority vote + truth join shared by the brute-force and IVF-PQ kNN
+    evals: neighbors → label votes → top vote (ties → smallest label) →
+    correctness flag per held-out query."""
     votes = (nn.join(corpus.select(F.col("vec_id").alias("neighbor_id"),
                                    F.col("label").alias("nbr_label")), "neighbor_id")
              .groupBy("query_id", "nbr_label").agg(F.count("*").alias("v")))
@@ -899,6 +909,24 @@ def knn_label_accuracy(spark, sf_dir):
             .select("query_id", "true_label", "pred_label",
                     (F.col("true_label") == F.col("pred_label")).alias("correct"))
             .orderBy("query_id"))
+
+
+def knn_label_accuracy_ivfpq(spark, sf_dir):
+    """IVF-PQ-backed kNN eval (r5, VERDICT r4 #7): the same 10-NN
+    majority-vote probe, but neighbors come from the IVF-PQ index built
+    over the corpus split — the eval a pipeline actually runs once the
+    labeled set stops being small enough to brute-force.  The index
+    (centroids, codebooks, codes) is derived from the corpus only; held-out
+    queries probe nprobe cells and score via ADC LUTs.  Deterministic →
+    exact twin; tests/test_similarity assert agreement with the
+    brute-force verdict."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") < 400)
+    held = (e.where(F.col("vec_id") >= 400)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    nn = SIM.ivfpq_ann_topk(corpus, held, k=10, n_cells=16, nprobe=4,
+                            kmeans_rounds=1, m=8, n_codes=16)
+    return _knn_verdict(nn, corpus, e)
 
 
 _KNN_SQL = """
@@ -1067,6 +1095,14 @@ ORDER BY rank
 """
 
 
+def _purchase_edges(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+                    F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst")))
+
+
 def graph_pagerank(spark, sf_dir):
     """Integer-arithmetic PageRank (r4) over the customer→supplier purchase
     graph — the link-graph centrality prior web-scale curation uses for
@@ -1076,41 +1112,143 @@ def graph_pagerank(spark, sf_dir):
     generated CTE chain."""
     from .operators.graph import pagerank_int
 
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-                     F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst")))
-    return pagerank_int(edges, iters=10).orderBy("node")
+    return pagerank_int(_purchase_edges(spark, sf_dir), iters=10).orderBy("node")
 
 
-def _pagerank_sql(iters: int = 10, damping_pct: int = 85) -> str:
-    """Generated twin of operators/graph.py::pagerank_int: one CTE pair per
-    iteration; all arithmetic in BIGINT floor division, so the match is
-    exact (not approximate)."""
+def graph_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution (r5).  The purchase
+    graph's suppliers have no out-edges, so the default operator leaks their
+    damped mass each round; redistribute_dangling=True reshares it uniformly
+    in the integer domain (one extra anti-join + fixed-point scalar sum per
+    round — still bit-deterministic).  The twin re-derives the dm{i} scalar
+    as one extra CTE per round; on a dangling-free graph both modes are
+    bit-equal (pinned by tests/test_graph.py)."""
+    from .operators.graph import pagerank_int
+
+    return (pagerank_int(_purchase_edges(spark, sf_dir), iters=10,
+                         redistribute_dangling=True)
+            .orderBy("node"))
+
+
+def curation_source_prior(spark, sf_dir):
+    """Composed curation stage (r5, VERDICT r4 #5): link-graph source prior
+    joined onto the per-source reputation rollup — the reason a web-scale
+    pipeline computes PageRank at all.  The 'link graph' is derived from the
+    corpus itself: MinHash-LSH near-dup candidate pairs whose two docs live
+    in different sources become copier → original edges (the earlier doc_id
+    of a pair is treated as the original), then integer PageRank with
+    dangling redistribution ranks sources by how much others duplicate
+    them, and the rank lands on the rollup as (prior_i, prior).  Sources
+    outside the copy graph keep NULL priors.
+
+    Scale shape: banded MinHash candidate generation (already bucketed, no
+    n²) → two broadcast-sized joins to attach sources → |sources|²-bounded
+    edge list → PageRank over a tiny graph → join onto the |sources|-row
+    rollup; no corpus-sized shuffle beyond the signature agg."""
+    from .operators.dedup import minhash_lsh_candidates
+    from .operators.graph import pagerank_int
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d)
+    src_of = d.select("doc_id", "source")
+    edges = (pairs
+             .join(src_of.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("source").alias("dst")), "doc_a")
+             .join(src_of.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("source").alias("src")), "doc_b")
+             .where(F.col("src") != F.col("dst"))
+             .select("src", "dst"))
+    pr = pagerank_int(edges, iters=10, redistribute_dangling=True)
+    rollup = source_quality_rollup(spark, sf_dir)
+    return (rollup.join(pr.withColumnRenamed("node", "source"), "source", "left")
+            .select("source", "n_docs", "avg_quality", "n_dups", "keep_rate",
+                    F.col("rank_i").alias("prior_i"),
+                    F.col("rank").alias("prior"))
+            .orderBy("source"))
+
+
+def _source_prior_sql(iters: int = 10, damping_pct: int = 85) -> str:
+    """Twin of curation_source_prior: copy-edge derivation + the shared
+    PageRank CTE chain (redistributing) + the shared rollup base."""
     from .operators.graph import PR_FXP
 
-    d = damping_pct
-    parts = [f"""
+    return (_SHINGLE_CTE + r""", mh AS (
+  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
+  FROM mh GROUP BY doc_id, h // 4
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT DISTINCT db.source AS src, da.source AS dst
+  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+               JOIN documents db ON db.doc_id = p.doc_b
+  WHERE da.source <> db.source
+)""" + _pagerank_chain(iters, damping_pct, redistribute=True)
+        + ", " + _ROLLUP_BASE_CTE
+        + f""", rollup AS ({_ROLLUP_SELECT})
+SELECT r.source, r.n_docs, r.avg_quality, r.n_dups, r.keep_rate,
+       CAST(p.rk AS BIGINT) AS prior_i,
+       round(CAST(p.rk AS DOUBLE) / {PR_FXP}, 9) AS prior
+FROM rollup r LEFT JOIN r{iters} p ON p.node = r.source
+ORDER BY r.source
+""")
+
+
+_PURCHASE_EDGES_CTE = """
 WITH edges AS (
   SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
          's:' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), nodes AS (
+)"""
+
+
+def _pagerank_chain(iters: int, damping_pct: int, redistribute: bool) -> str:
+    """The nodes/deg/r0..rN CTE chain of operators/graph.py::pagerank_int,
+    to be appended after an `edges(src, dst)` CTE.  All arithmetic is BIGINT
+    floor division, so the match is exact (not approximate); with
+    redistribute, each round adds a dm{i} scalar CTE (mass on out-degree-0
+    nodes) shared uniformly — mirroring redistribute_dangling=True."""
+    from .operators.graph import PR_FXP
+
+    d = damping_pct
+    parts = [f""", nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
-), nn AS (SELECT count(*) AS n FROM nodes),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-r0 AS (SELECT node, {PR_FXP} // n AS rk FROM nodes, nn)"""]
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, {PR_FXP} // n AS rk FROM nodes, nn)"""]
     for i in range(1, iters + 1):
-        parts.append(f""", c{i} AS (
+        dm_cte, dm_term, dm_join = "", "", ""
+        if redistribute:
+            dm_cte = f""", dm{i} AS (
+  SELECT CAST(coalesce(sum(r.rk), 0) AS BIGINT) AS dm
+  FROM r{i - 1} r LEFT JOIN deg dg ON r.node = dg.src
+  WHERE dg.src IS NULL
+)"""
+            dm_term = f" + dm{i}.dm * {d} // (100 * nn.n)"
+            dm_join = f" CROSS JOIN dm{i}"
+        parts.append(f"""{dm_cte}, c{i} AS (
   SELECT e.dst, sum(r.rk // d.deg) AS s
   FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.node = e.src
   GROUP BY e.dst
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT nds.node,
-         ({PR_FXP} * {100 - d}) // (100 * nn.n) + coalesce(c{i}.s, 0) * {d} // 100 AS rk
-  FROM nodes nds CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nds.node
+         ({PR_FXP} * {100 - d}) // (100 * nn.n) + coalesce(c{i}.s, 0) * {d} // 100{dm_term} AS rk
+  FROM nodes nds CROSS JOIN nn{dm_join} LEFT JOIN c{i} ON c{i}.dst = nds.node
 )""")
+    return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 10, damping_pct: int = 85,
+                  redistribute: bool = False) -> str:
+    """Generated twin of operators/graph.py::pagerank_int over the
+    customer→supplier purchase graph."""
+    from .operators.graph import PR_FXP
+
+    parts = [_PURCHASE_EDGES_CTE, _pagerank_chain(iters, damping_pct, redistribute)]
     parts.append(f"""
 SELECT node, CAST(rk AS BIGINT) AS rank_i,
        round(CAST(rk AS DOUBLE) / {PR_FXP}, 9) AS rank
@@ -1974,6 +2112,73 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _knn_ivfpq_sql(k: int = 10, n_cells: int = 16, nprobe: int = 4, m: int = 8,
+                   n_codes: int = 16, dim: int | None = None) -> str:
+    """Generated twin of knn_label_accuracy_ivfpq: the _ivfpq_sql machinery
+    with the index CTEs (v / kmeans / codebooks / enc) built over the
+    corpus split only and probes drawn from the held-out split, then the
+    same vote/majority/truth tail as _KNN_SQL."""
+    dim = dim or EMBEDDING_DIM
+    sub = dim // m
+    c = _pq_ctes(m, sub)
+    score = " + ".join(_dot_sql(c["qsl"]("p.qv", j), f"c{j}.cv") for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT vec_id, vec0 AS vec, vec0,
+         list_transform(vec0, x -> x / sqrt({_dot_sql('vec0', 'vec0')})) AS vecn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings
+        WHERE vec_id < 400)
+), vq AS (
+  SELECT vec_id, vec0 AS vec,
+         list_transform(vec0, x -> x / sqrt({_dot_sql('vec0', 'vec0')})) AS vecn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings
+        WHERE vec_id >= 400)
+), {_kmeans_cte(n_cells, dim)}, cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cosine_sql('v.vec', 'c.cv')} DESC, c.cell_id) AS rn
+    FROM v CROSS JOIN cent c) WHERE rn = 1
+), seeds AS (
+  SELECT CAST(vec_id AS INT) AS code, vecn FROM v WHERE vec_id < {n_codes}
+),
+{c["cbs"]},
+{c["assigns"]},
+enc AS (SELECT a0.vec_id, {c["code_cols"]} FROM a0 {c["enc_joins"]}),
+probes AS (
+  SELECT vec_id AS query_id, vecn AS qv, cell_id FROM (
+    SELECT q.vec_id, q.vecn, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql('q.vec', 'c.cv')} DESC, c.cell_id) AS rn
+    FROM vq q CROSS JOIN cent c) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id, {score} AS s
+  FROM cells cl JOIN probes p USING (cell_id)
+  JOIN enc e ON e.vec_id = cl.vec_id {c["cb_joins"]}
+  WHERE cl.vec_id <> p.query_id
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {k}
+), votes AS (
+  SELECT t.query_id, lbl.label AS nbr_label, count(*) AS v
+  FROM topk t JOIN embeddings lbl ON lbl.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nbr_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY v DESC, nbr_label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT h.vec_id AS query_id, h.label AS true_label, p.pred_label,
+       h.label = p.pred_label AS correct
+FROM embeddings h JOIN pred p ON p.query_id = h.vec_id
+WHERE h.vec_id >= 400
+ORDER BY query_id
+"""
+
+
 def _lsh_fold(vec: str, consts: list[float]) -> str:
     """DuckDB expression for the SAME left-to-right double fold Spark's
     aggregate() runs: list_reduce starts from the first product, which is
@@ -2383,7 +2588,12 @@ FROM events GROUP BY 1, 2
 # are the ones with the most recent green artifacts and a sibling still in
 # the window covering the same operator family.
 QUERIES: dict[str, Query] = {
-    # -- new / plan-changed this round (r4) --
+    # -- new / plan-changed this round (r5) --
+    "curation_source_prior": curation_source_prior,
+    "graph_pagerank_dangling": graph_pagerank_dangling,
+    "bpe_merges": bpe_merges,                    # r4 op, twin freq cast fixed;
+                                                 # named rotation candidate
+    # -- new / plan-changed r4 --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
     "doc_lm_score": doc_lm_score,
@@ -2418,7 +2628,6 @@ QUERIES: dict[str, Query] = {
     "broadcast_part_revenue": broadcast_part_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
     "grouping_sets_orders": grouping_sets_orders,
-    "semi_suppliers_active": semi_suppliers_active,
     "events_value_percentiles": events_value_percentiles,
     "events_asof_last_signup": events_asof_last_signup,
     "events_range_join": events_range_join,
@@ -2429,7 +2638,6 @@ QUERIES: dict[str, Query] = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
     "lexicon_match_rate": lexicon_match_rate,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_near_pairs": simhash_near_pairs,
     "stratified_sample": stratified_sample,
     "pack_token_budget": pack_token_budget,
@@ -2438,7 +2646,6 @@ QUERIES: dict[str, Query] = {
     "benchmark_decontaminate": benchmark_decontaminate,
     "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
-    "lsh_ann_topk": lsh_ann_topk,
 }
 
 # Parked outside the driver window this round — every one pytest-oracle-
@@ -2456,9 +2663,17 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "doc_fingerprints": "r3",        # sibling in window: doc_winnow_fp
     "dedup_exact": "r3",             # md5-canonical logic also attested by
                                      # curation_filter_audit + source_quality_rollup
-    "embedding_near_dups": "r3",     # sibling in window: lsh_ann_topk (same
-                                     # LSH bucketing) + semantic_dedup (near-dup)
-    "bpe_merges": "new r4 (pytest-attested; window candidate next rotation)",
+    "embedding_near_dups": "r3",     # sibling in window: semantic_dedup
+                                     # (near-dup) + ann family
+    "dedup_minhash_pairs": "r4",     # siblings in window: dedup_cross_corpus
+                                     # + curation_source_prior (both run the
+                                     # same banded-MinHash candidate stage)
+    "lsh_ann_topk": "r4",            # ANN family siblings in window:
+                                     # ann_cosine/ivf/pq/ivfpq
+    "semi_suppliers_active": "r4",   # join family (broadcast/hash/anti/range)
+                                     # still in window
+    "knn_label_accuracy_ivfpq": "new r5 (pytest-attested; window candidate "
+                                "next rotation)",
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2478,7 +2693,10 @@ EXTRA_QUERIES: dict[str, Query] = {
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact": dedup_exact,
     "embedding_near_dups": embedding_near_dups,
-    "bpe_merges": bpe_merges,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "lsh_ann_topk": lsh_ann_topk,
+    "semi_suppliers_active": semi_suppliers_active,
+    "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2554,6 +2772,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _LM_SCORE_SQL,
         "dedup_cross_corpus": _CROSS_MINHASH_SQL,
         "graph_pagerank": _pagerank_sql(),
+        "graph_pagerank_dangling": _pagerank_sql(redistribute=True),
+        "curation_source_prior": _source_prior_sql(),
+        "knn_label_accuracy_ivfpq": _knn_ivfpq_sql(),
         "source_quality_rollup": _SOURCE_ROLLUP_SQL,
         "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
         "pq_ann_topk": _pq_ann_sql(),

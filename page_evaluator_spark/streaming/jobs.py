@@ -219,6 +219,11 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
     totals (pinned by test: two-batch run equals one batch recompute).
     Value sums accumulate in the integer domain (cents) so restarts and
     partitionings cannot reorder float additions.
+
+    The parquet sink appends one row per (user, touching micro-batch), so
+    the raw files hold intermediate totals too (ADVICE r4); the return value
+    dedups to the LATEST row per user (max n_events — the count is strictly
+    increasing) so callers get exactly one final-total row per user.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -274,7 +279,12 @@ def run_running_totals_tws(spark: SparkSession, events_dir: str,
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, prev_provider)
-    return spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.read.parquet(out_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
 
 
 def run_stream_static_enrich(spark: SparkSession, events_path: str,

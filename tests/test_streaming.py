@@ -253,10 +253,9 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     spark.createDataFrame([ev(4, 1, 0.25), ev(5, 3, 7.0)], schema) \
         .write.mode("append").parquet(land)
     all_rows = run_running_totals_tws(spark, land, ckpt, out).collect()
-    latest = {}
-    for r in all_rows:  # append sink keeps both batches' emissions
-        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]]["n_events"]:
-            latest[r["user_id"]] = r
+    # r5: the function dedups the append sink to the latest row per user
+    assert len(all_rows) == len({r["user_id"] for r in all_rows})
+    latest = {r["user_id"]: r for r in all_rows}
     assert latest[1]["n_events"] == 3 and latest[1]["sum_value"] == 4.0
     assert latest[2]["n_events"] == 1 and latest[3]["sum_value"] == 7.0
 

@@ -406,3 +406,158 @@ def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
     return (packed.groupBy("seq_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+
+
+def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
+                           budget_pct: int = 50, text_col: str = "text",
+                           source_col: str = "source") -> list[tuple[str, int, int]]:
+    """Temperature-scaled corpus mixture targets (the multilingual-training
+    α-sampling rule, e.g. mBERT/XLM-R's p^α rebalancing): per-source token
+    share p_s is flattened to p_s^α (α = alpha_num/alpha_den, default 0.5)
+    and renormalized, then a global token budget (budget_pct% of corpus
+    tokens) is split across sources proportionally.
+
+    Returns [(source, total_tokens, target_tokens)] sorted by source — a
+    dimension-table collect (|sources| rows, like the IVF centroid seeds).
+    Float steps are pinned to one evaluation order (fold over sources sorted
+    by name; left-assoc B*w/W) so the Python values are bit-identical to the
+    DuckDB twin's list_reduce fold.  Only α ∈ {1/2, 1} keeps the power exact
+    (sqrt is correctly rounded; pow() is not) — guarded."""
+    import math
+
+    if (alpha_num, alpha_den) not in ((1, 2), (1, 1)):
+        raise ValueError("alpha must be 1/2 or 1: x**0.5 (sqrt) and x**1 are "
+                         "the correctly-rounded powers both engines agree on")
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(PORTABLE_TOKEN_RE), 0))
+    rows = (docs.groupBy(F.col(source_col).alias("source"))
+            .agg(F.sum(n_tok.cast("long")).alias("toks"))
+            .collect())
+    totals = sorted((r["source"], int(r["toks"])) for r in rows)
+    grand = sum(t for _, t in totals)
+    if grand == 0:
+        return [(s, 0, 0) for s, _ in totals]
+    budget = grand * budget_pct // 100
+    weights = []
+    for s, t in totals:
+        p = t / grand
+        weights.append(math.sqrt(p) if alpha_den == 2 else p)
+    wsum = 0.0
+    for w in weights:
+        wsum += w
+    return [(s, t, int(math.floor(budget * w / wsum)))
+            for (s, t), w in zip(totals, weights)]
+
+
+def domain_mixture_sample(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
+                          budget_pct: int = 50, text_col: str = "text",
+                          source_col: str = "source", id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """Deterministic mixture resampling to the source_mixture_targets quota:
+    within each source, docs are ordered by (md5(id), id) — a fixed
+    pseudo-random shuffle — and kept while the running token count stays
+    within the source's target.  The keep set is therefore a pure function
+    of the corpus (idempotent across retries/partitionings).
+
+    Returns the per-source audit rollup (source, total_tokens,
+    target_tokens, kept_docs, kept_tokens, keep_check) where keep_check is
+    the bit_xor of 48-bit md5 doc keys — an order-independent, overflow-free
+    set-equality probe for the kept ids that both engines compute
+    identically (a DECIMAL(38,0) sum survives the engines but not pandas:
+    DuckDB's .df() narrows it to float64).
+
+    Scale shape: one map-side-combined agg for the totals (|sources| rows
+    collected), one windowed prefix-sum per source partition (the same
+    sharded-prefix-sum idiom as pack_token_budget), one final |sources|-row
+    agg.  Skewed sources are bounded by their quota, not their size."""
+    from pyspark.sql import Window
+
+    from .skew import ensure_min_parallelism
+
+    targets = source_mixture_targets(docs, alpha_num, alpha_den, budget_pct,
+                                     text_col, source_col)
+    spark = docs.sparkSession
+    tgt = F.broadcast(spark.createDataFrame(
+        targets, "source: string, total_tokens: long, target_tokens: long"))
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(PORTABLE_TOKEN_RE), 0))
+    base = (ensure_min_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"),
+                    n_tok.cast("long").alias("n_tok"),
+                    F.md5(F.col(id_col).cast("string")).alias("shuf")))
+    w = (Window.partitionBy("source").orderBy("shuf", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                     16, 10).cast("long")
+    kept = F.col("cum") <= F.col("target_tokens")
+    cum = (base.withColumn("cum", F.sum("n_tok").over(w)).join(tgt, "source")
+           .withColumn("kept_key", F.when(kept, doc_key)))
+    return (cum.groupBy("source")
+            .agg(F.first("total_tokens").alias("total_tokens"),
+                 F.first("target_tokens").alias("target_tokens"),
+                 F.sum(kept.cast("long")).alias("kept_docs"),
+                 F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+                 .cast("long").alias("kept_tokens"),
+                 F.coalesce(F.expr("bit_xor(kept_key)"), F.lit(0))
+                 .cast("long").alias("keep_check"))
+            .orderBy("source"))
+
+
+def dsir_importance_sample(docs: DataFrame, n_buckets: int = 256, top_k: int = 100,
+                           quality_threshold: float = 0.5, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """DSIR-shaped hashed-n-gram importance resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    documents are scored by how much their hashed unigram distribution looks
+    like a TARGET domain (here: the corpus' own high-quality slice,
+    quality_score >= threshold) relative to the RAW distribution, and the
+    top-k by score are selected.
+
+    Deviation from the paper, on purpose: the per-feature log-likelihood
+    ratio log((t_b+1)/(r_b+1)) is replaced by the FIXED-POINT RATIONAL ratio
+    (t_b+1)·2^20 // (r_b+1) — ln() is not correctly rounded and diverges
+    across libms, while integer floor division is bit-exact in every engine
+    (the repo-wide fixed-point doctrine).  Per-feature monotonicity is
+    preserved; scores are comparable within a corpus, which is all top-k
+    selection needs.
+
+    Scale shape: token explode → per-bucket count aggs (two n_buckets-row
+    tables) → broadcast join back onto the exploded tokens → per-doc long
+    sum → global top-k window over docs (a rank-then-filter; at 100 TB use
+    the two-phase per-partition top-k + merge, which Spark's
+    RankLimit/WindowGroupLimit pushdown already performs for rn <= k).
+    Everything shuffles hashes and longs, never text."""
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score
+    from .skew import ensure_min_parallelism
+
+    fxp = 1 << 20
+    toks = (ensure_min_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    quality_score(F.col(text_col)).alias("q"),
+                    F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                                   F.lit(PORTABLE_TOKEN_RE), 0))
+                    .alias("tok")))
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+              .cast("long") % n_buckets)
+    tb = toks.select("doc_id", "q", bucket.alias("b"))
+    raw = tb.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    tgt = (tb.where(F.col("q") >= quality_threshold)
+           .groupBy("b").agg(F.count("*").alias("t_cnt")))
+    lr = F.broadcast(
+        raw.join(tgt, "b", "left")
+        .select("b", F.expr(f"(coalesce(t_cnt, 0L) + 1L) * {fxp} "
+                            f"div (r_cnt + 1L)").alias("lr_fx")))
+    scored = (tb.join(lr, "b")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_tok"),
+                   F.sum("lr_fx").cast("long").alias("score_sum")))
+    per_tok = F.expr("score_sum div n_tok")
+    w = Window.orderBy(F.col("score_fx").desc(), "doc_id")
+    return (scored.where(F.col("n_tok") > 0)
+            .withColumn("score_fx", per_tok)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("rank", "doc_id", "n_tok", "score_fx"))

@@ -1429,6 +1429,112 @@ ORDER BY doc_id
 """
 
 
+def domain_mixture_sample(spark, sf_dir):
+    """Temperature-scaled (α=0.5) source-mixture resampling to a 50% token
+    budget (r5) — the corpus-mixing step of a training-data pipeline: flatten
+    per-source token shares with p^α, split the budget proportionally, then
+    keep a deterministic md5-shuffled prefix of each source up to its quota.
+    Output is the per-source audit rollup incl. a DECIMAL(38,0) set-equality
+    checksum of the kept doc ids."""
+    from .operators.curation import domain_mixture_sample as _dm
+
+    return _dm(load(spark, sf_dir, "documents"), budget_pct=50)
+
+
+def _mixture_sql(budget_pct: int = 50) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]'))
+              AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS shuf
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM t GROUP BY source
+), g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM tot),
+wts AS (
+  SELECT source, total_tokens, grand,
+         sqrt(total_tokens / CAST(grand AS DOUBLE)) AS w
+  FROM tot CROSS JOIN g
+), wsum AS (
+  SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS ws FROM wts
+), tgt AS (
+  SELECT source, total_tokens,
+         CAST(floor((grand * {budget_pct} // 100) * w / ws) AS BIGINT) AS target_tokens
+  FROM wts CROSS JOIN wsum
+), cum AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY shuf, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT c.source, tg.total_tokens, tg.target_tokens,
+       CAST(sum(CASE WHEN c.cum <= tg.target_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(coalesce(sum(CASE WHEN c.cum <= tg.target_tokens THEN c.n_tok END), 0)
+            AS BIGINT) AS kept_tokens,
+       CAST(coalesce(bit_xor(CASE WHEN c.cum <= tg.target_tokens THEN
+              ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 12))::BIGINT END), 0)
+            AS BIGINT) AS keep_check
+FROM cum c JOIN tgt tg USING (source)
+GROUP BY c.source, tg.total_tokens, tg.target_tokens
+ORDER BY c.source
+"""
+
+
+def dsir_importance_sample(spark, sf_dir):
+    """DSIR-shaped importance resampling (r5): hashed-unigram target/raw
+    ratio scoring (fixed-point rationals instead of logs — see
+    operators/curation.py::dsir_importance_sample), top-100 docs by
+    per-token score."""
+    from .operators.curation import dsir_importance_sample as _ds
+
+    return _ds(load(spark, sf_dir, "documents"), n_buckets=256, top_k=100,
+               quality_threshold=0.5)
+
+
+def _dsir_sql(n_buckets: int = 256, top_k: int = 100) -> str:
+    fxp = 1 << 20
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+               + 0.3 * least(n_tok / 20.0, 1.0)
+               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                     ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
+           AS q
+  FROM (SELECT doc_id, text,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS punct,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        FROM documents)
+), tb AS (
+  SELECT doc_id, q,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (SELECT doc_id, q,
+               unnest(regexp_extract_all(lower(text),
+                      '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+        FROM base)
+), raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM tb GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tb WHERE q >= 0.5 GROUP BY b),
+lr AS (
+  SELECT raw.b, (coalesce(t_cnt, 0) + 1) * {fxp} // (r_cnt + 1) AS lr_fx
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(lr_fx) AS BIGINT) AS score_sum
+  FROM tb JOIN lr ON tb.b = lr.b GROUP BY doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, n_tok, score_fx FROM (
+  SELECT doc_id, n_tok, score_sum // n_tok AS score_fx,
+         row_number() OVER (ORDER BY score_sum // n_tok DESC, doc_id) AS rank
+  FROM scored WHERE n_tok > 0)
+WHERE rank <= {top_k} ORDER BY rank
+"""
+
+
 def pack_token_budget(spark, sf_dir):
     """Token-budget sequence packing (sharded prefix-sum bins)."""
     from .operators.curation import pack_token_budget as _pp
@@ -2593,6 +2699,8 @@ QUERIES: dict[str, Query] = {
     "graph_pagerank_dangling": graph_pagerank_dangling,
     "bpe_merges": bpe_merges,                    # r4 op, twin freq cast fixed;
                                                  # named rotation candidate
+    "domain_mixture_sample": domain_mixture_sample,
+    "dsir_importance_sample": dsir_importance_sample,
     # -- new / plan-changed r4 --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
@@ -2624,7 +2732,6 @@ QUERIES: dict[str, Query] = {
     # -- relational / window / agg coverage --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
     "broadcast_part_revenue": broadcast_part_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
     "grouping_sets_orders": grouping_sets_orders,
@@ -2639,7 +2746,6 @@ QUERIES: dict[str, Query] = {
     "doc_lang_id": doc_lang_id,
     "lexicon_match_rate": lexicon_match_rate,
     "simhash_near_pairs": simhash_near_pairs,
-    "stratified_sample": stratified_sample,
     "pack_token_budget": pack_token_budget,
     "doc_pii_scan": doc_pii_scan,
     "curation_filter_audit": curation_filter_audit,
@@ -2674,6 +2780,10 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # still in window
     "knn_label_accuracy_ivfpq": "new r5 (pytest-attested; window candidate "
                                 "next rotation)",
+    "q5_region_revenue": "r4",       # join-agg family in window: q1/q3/
+                                     # broadcast_part_revenue
+    "stratified_sample": "r4",       # md5-threshold sampling family in
+                                     # window: domain_mixture_sample (new)
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2697,6 +2807,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "lsh_ann_topk": lsh_ann_topk,
     "semi_suppliers_active": semi_suppliers_active,
     "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,
+    "q5_region_revenue": q5_region_revenue,
+    "stratified_sample": stratified_sample,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2757,6 +2869,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _CLUSTERS_SQL,
         "stratified_sample": _sample_sql(),
         "pack_token_budget": _PACK_SQL,
+        "domain_mixture_sample": _mixture_sql(),
+        "dsir_importance_sample": _dsir_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,

@@ -143,3 +143,78 @@ def test_dtype_canonicalizer_tokens():
     # the class of failure r4 shipped: HUGEINT != int64
     assert _canon_type("HUGEINT", _DUCK_TOKENS) != \
         _canon_type("bigint", _SPARK_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# r5: temperature mixture resampling + DSIR-shaped importance sampling
+# ---------------------------------------------------------------------------
+
+def _mix_docs(spark, seed=11):
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "kappa"]
+    rows = []
+    did = 0
+    for s, n_docs in [("big", 60), ("mid", 25), ("small", 8)]:
+        for _ in range(n_docs):
+            rows.append((did, s, " ".join(rng.choice(words)
+                                          for _ in range(rng.randrange(5, 40)))))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+
+def test_domain_mixture_quota_and_flattening(spark):
+    from page_evaluator_spark.operators.curation import domain_mixture_sample
+
+    out = {r["source"]: r for r in
+           domain_mixture_sample(_mix_docs(spark), budget_pct=50).collect()}
+    assert set(out) == {"big", "mid", "small"}
+    total = sum(r["total_tokens"] for r in out.values())
+    assert sum(r["target_tokens"] for r in out.values()) <= total * 50 // 100
+    for r in out.values():
+        assert r["kept_tokens"] <= r["target_tokens"]
+        assert 0 < r["kept_docs"] <= 1 + r["kept_tokens"]  # docs are non-empty
+    # α=0.5 flattens: the smallest source keeps a LARGER fraction of its
+    # tokens than the biggest one
+    frac = {s: r["target_tokens"] / r["total_tokens"] for s, r in out.items()}
+    assert frac["small"] > frac["big"]
+
+
+def test_domain_mixture_partitioning_invariant(spark):
+    from page_evaluator_spark.operators.curation import domain_mixture_sample
+
+    d = _mix_docs(spark, seed=4)
+    a = sorted(map(tuple, domain_mixture_sample(d.repartition(1)).collect()))
+    b = sorted(map(tuple, domain_mixture_sample(d.repartition(13)).collect()))
+    assert a == b
+
+
+def test_mixture_targets_reject_unsupported_alpha(spark):
+    from page_evaluator_spark.operators.curation import source_mixture_targets
+
+    with pytest.raises(ValueError, match="alpha"):
+        source_mixture_targets(_mix_docs(spark), alpha_num=3, alpha_den=4)
+
+
+def test_dsir_selects_target_like_docs_and_is_deterministic(spark):
+    from page_evaluator_spark.operators.curation import dsir_importance_sample
+    from page_evaluator_spark.functions.textstats import quality_score
+
+    rng = random.Random(9)
+    rows = []
+    # half the corpus: clean alpha-rich prose (high quality -> target slice);
+    # half: punctuation soup (low quality)
+    for i in range(60):
+        rows.append((i, " ".join(rng.choice(["amber", "birch", "cedar", "dune"])
+                                 for _ in range(25))))
+    for i in range(60, 120):
+        rows.append((i, " ".join(rng.choice(["#!?", "%%%", "@@"])
+                                 for _ in range(25))))
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    top = dsir_importance_sample(d, top_k=30).collect()
+    assert len(top) == 30
+    # importance resampling must pull from the target-like (clean) half
+    clean_share = sum(1 for r in top if r["doc_id"] < 60) / 30
+    assert clean_share >= 0.9, clean_share
+    a = sorted(map(tuple, dsir_importance_sample(d.repartition(1), top_k=30).collect()))
+    b = sorted(map(tuple, dsir_importance_sample(d.repartition(11), top_k=30).collect()))
+    assert a == b

@@ -524,10 +524,14 @@ def dsir_importance_sample(docs: DataFrame, n_buckets: int = 256, top_k: int = 1
 
     Scale shape: token explode → per-bucket count aggs (two n_buckets-row
     tables) → broadcast join back onto the exploded tokens → per-doc long
-    sum → global top-k window over docs (a rank-then-filter; at 100 TB use
-    the two-phase per-partition top-k + merge, which Spark's
-    RankLimit/WindowGroupLimit pushdown already performs for rn <= k).
-    Everything shuffles hashes and longs, never text."""
+    sum → top-k as orderBy(...).limit(k), which Spark executes as
+    TakeOrderedAndProject: per-partition top-k heaps merged on the driver —
+    k rows cross the wire per partition, never the corpus.  (A global
+    row_number window would funnel every doc through ONE partition: plan-
+    checked and rejected — no WindowGroupLimit pushdown fires for the
+    unpartitioned rank filter in Spark 4.1.)  The rank column is then a
+    window over the k-row result only.  Everything shuffles hashes and
+    longs, never text."""
     from pyspark.sql import Window
 
     from ..functions.textstats import quality_score
@@ -555,9 +559,10 @@ def dsir_importance_sample(docs: DataFrame, n_buckets: int = 256, top_k: int = 1
               .agg(F.count("*").cast("long").alias("n_tok"),
                    F.sum("lr_fx").cast("long").alias("score_sum")))
     per_tok = F.expr("score_sum div n_tok")
-    w = Window.orderBy(F.col("score_fx").desc(), "doc_id")
-    return (scored.where(F.col("n_tok") > 0)
+    topk = (scored.where(F.col("n_tok") > 0)
             .withColumn("score_fx", per_tok)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_k)
+            .orderBy(F.col("score_fx").desc(), "doc_id")
+            .limit(top_k))
+    w = Window.orderBy(F.col("score_fx").desc(), "doc_id")
+    return (topk.withColumn("rank", F.row_number().over(w))
             .select("rank", "doc_id", "n_tok", "score_fx"))

@@ -49,6 +49,16 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+# timed and reported under "extra_queries" but NOT summed into the headline
+# total — keeps the suite total comparable across rounds while still
+# publishing per-op numbers for operators added later
+EXTRA_HEADLINE = [
+    "curation_source_prior",
+    "graph_pagerank_dangling",
+    "domain_mixture_sample",
+    "dsir_importance_sample",
+]
+
 
 def _corpus_path() -> tuple[str, int]:
     """Pre-generate (and cache) the seeded span corpus; excluded from timing."""
@@ -242,15 +252,19 @@ def main() -> None:
         skew = {"error": str(e)[:300]}
 
     # --- headline queries at full parallelism (in-process) ---
-    from page_evaluator_spark.queries import QUERIES
+    # the bench set is stable round-over-round, so it resolves against the
+    # FULL registry (window + parked) — window rotation must not change what
+    # gets timed
+    from page_evaluator_spark.queries import EXTRA_QUERIES, QUERIES
     from page_evaluator_spark.session import get_spark
 
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
     spark = get_spark(app_name="pageeval-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qtimes: dict[str, float] = {}
     try:
         for name in HEADLINE:
-            fn = QUERIES[name]
+            fn = all_queries[name]
 
             def run_query(fn=fn):
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -266,6 +280,22 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             qtimes[name] = round(best, 3)
         qtimes["ocr_pipeline"] = pipeline[f"sec_{CPUS}c"]
+        # new-operator timings, reported OUTSIDE the headline total so the
+        # round-over-round suite comparison stays apples-to-apples
+        extra_times: dict[str, float] = {}
+        for name in EXTRA_HEADLINE:
+            fn = all_queries[name]
+
+            def run_extra(fn=fn):
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+            run_extra()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_extra()
+                best = min(best, time.perf_counter() - t0)
+            extra_times[name] = round(best, 3)
     finally:
         spark.stop()
 
@@ -276,6 +306,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "extra_queries": extra_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pipeline": pipeline,
         "skew_task_ms": skew,

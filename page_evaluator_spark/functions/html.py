@@ -87,6 +87,21 @@ def _clean_expr(b: Column) -> Column:
         F.regexp_replace(b, RE_TAG, ""), r"\s+", " ")))
 
 
+def block_diagnostics_expr(html: Column) -> Column:
+    """Per-block audit view of the frozen keep rule: an array (document
+    order) of structs (text_len, link_len) for every DOM block the rule
+    sees — the readability-style density evidence behind each keep/drop
+    decision, exposed so extraction behavior is inspectable instead of a
+    yes/no.  Same split/clean machinery as extract_main_text_expr; fully
+    codegen'd."""
+    body = F.regexp_replace(html, RE_DROP, "")
+    blocks = F.split(body, RE_BLOCK_SEP)
+    return F.transform(blocks, lambda b: F.struct(
+        F.length(_clean_expr(b)).alias("text_len"),
+        F.length(_clean_expr(F.array_join(
+            F.regexp_extract_all(b, F.lit(RE_ANCHOR), 1), ""))).alias("link_len")))
+
+
 def extract_main_text_expr(html: Column) -> Column:
     """The same frozen rule as a native, codegen'd Catalyst expression."""
     body = F.regexp_replace(html, RE_DROP, "")

@@ -2500,6 +2500,90 @@ FROM mains
 """
 
 
+def html_block_scores(spark, sf_dir):
+    """Per-block DOM-heuristic diagnostics (r5) — the north_rule's "DOM
+    heuristics" made auditable: every block the frozen readability rule
+    sees, with its text length, link-text length, link density and the
+    keep verdict.  The synthetic wrapper gives each document FOUR real
+    blocks (link-dense nav, two content halves, link-only footer) so the
+    rule's discrimination is visible per document.  Pure codegen'd
+    projection + posexplode — no shuffle at all until the output sort."""
+    from .functions.html import (
+        MAX_LINK_DENSITY,
+        MIN_BLOCK_CHARS,
+        block_diagnostics_expr,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    half1 = F.expr("substring(text, 1, length(text) div 2)")
+    half2 = F.expr("substring(text, length(text) div 2 + 1)")
+    html = F.concat(
+        F.lit("<html><body><div><a href='/'>Home</a> <a href='/a'>About</a>"
+              "</div><p>"),
+        half1, F.lit("</p><p>"), half2,
+        F.lit("</p><div><a href='/t'>Terms</a></div></body></html>"))
+    diag = F.posexplode(block_diagnostics_expr(html))
+    t = F.col("d.text_len").cast("double")
+    li = F.col("d.link_len").cast("double")
+    return (d.select("doc_id", diag.alias("block_idx", "d"))
+            .select("doc_id", "block_idx",
+                    F.col("d.text_len").alias("text_len"),
+                    F.col("d.link_len").alias("link_len"),
+                    F.when(F.col("d.text_len") == 0, F.lit(0.0))
+                    .otherwise(F.round(li / t, 6)).alias("link_density"),
+                    ((F.col("d.text_len") >= MIN_BLOCK_CHARS)
+                     & (li <= F.lit(MAX_LINK_DENSITY) * t)).alias("kept"))
+            .orderBy("doc_id", "block_idx"))
+
+
+def _html_blocks_sql() -> str:
+    """Twin of html_block_scores: the _html_main_sql split/clean machinery,
+    fanned out per block with the BPE twin's unnest(range()) index idiom."""
+    from .functions.html import _ENTITIES
+
+    pre = ("<html><body><div><a href=''/''>Home</a> <a href=''/a''>About</a></div>"
+           "<p>")
+    mid = "</p><p>"
+    post = "</p><div><a href=''/t''>Terms</a></div></body></html>"
+    drop = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
+    sep = (r"(?i)<br\s*/?>|</(?:p|div|li|h1|h2|h3|h4|h5|h6|tr|td|section|article|header|"
+           r"footer|blockquote|table|ul|ol)\s*>")
+    anchors = (r"coalesce(array_to_string(regexp_extract_all(blk,"
+               r" '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ''), '')")
+
+    def clean(col: str) -> str:
+        s = (f"trim(regexp_replace(regexp_replace({col}, '(?s)<[^>]*>', '', 'g'),"
+             f" '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
+        for ent, ch in _ENTITIES:
+            ch_sql = ch.replace("'", "''")
+            s = f"replace({s}, '{ent}', '{ch_sql}')"
+        return s
+
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace('{pre}' || substr(text, 1, length(text) // 2)
+                          || '{mid}' || substr(text, length(text) // 2 + 1)
+                          || '{post}', '{drop}', '', 'g'), '{sep}') AS blks
+  FROM documents
+), fan AS (
+  SELECT doc_id, i - 1 AS block_idx, blks[i] AS blk
+  FROM (SELECT doc_id, blks, unnest(range(1, len(blks) + 1)) AS i FROM blocks)
+), lens AS (
+  SELECT doc_id, block_idx,
+         CAST(length({clean('blk')}) AS INT) AS text_len,
+         CAST(length({clean(anchors)}) AS INT) AS link_len
+  FROM fan
+)
+SELECT doc_id, CAST(block_idx AS INT) AS block_idx, text_len, link_len,
+       CASE WHEN text_len = 0 THEN 0.0
+            ELSE round(link_len / CAST(text_len AS DOUBLE), 6) END AS link_density,
+       (text_len >= 25 AND CAST(link_len AS DOUBLE) <= 0.33 * CAST(text_len AS DOUBLE))
+         AS kept
+FROM lens ORDER BY doc_id, block_idx
+"""
+
+
 def ocr_worst_pages(spark, sf_dir):
     """Worst-20 pages by quality score (SURVEY §2.6 sorts/top-k over the
     pipeline's own output; -1 sentinels excluded)."""
@@ -2701,6 +2785,7 @@ QUERIES: dict[str, Query] = {
                                                  # named rotation candidate
     "domain_mixture_sample": domain_mixture_sample,
     "dsir_importance_sample": dsir_importance_sample,
+    "html_block_scores": html_block_scores,
     # -- new / plan-changed r4 --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
@@ -2728,7 +2813,6 @@ QUERIES: dict[str, Query] = {
     "streaming_click_to_purchase": streaming_click_to_purchase,
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
-    "html_main_content": html_main_content,
     # -- relational / window / agg coverage --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2784,6 +2868,9 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # broadcast_part_revenue
     "stratified_sample": "r4",       # md5-threshold sampling family in
                                      # window: domain_mixture_sample (new)
+    "html_main_content": "r4",       # frozen-rule sibling in window:
+                                     # html_block_scores (same machinery,
+                                     # per-block detail)
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2809,6 +2896,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,
     "q5_region_revenue": q5_region_revenue,
     "stratified_sample": stratified_sample,
+    "html_main_content": html_main_content,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2870,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sample_sql(),
         "pack_token_budget": _PACK_SQL,
         "domain_mixture_sample": _mixture_sql(),
+        "html_block_scores": _html_blocks_sql(),
         "dsir_importance_sample": _dsir_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,

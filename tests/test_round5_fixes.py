@@ -218,3 +218,25 @@ def test_dsir_selects_target_like_docs_and_is_deterministic(spark):
     a = sorted(map(tuple, dsir_importance_sample(d.repartition(1), top_k=30).collect()))
     b = sorted(map(tuple, dsir_importance_sample(d.repartition(11), top_k=30).collect()))
     assert a == b
+
+
+def test_html_block_scores_discriminates_nav_from_content(spark, sf01_dir):
+    from page_evaluator_spark.queries import html_block_scores
+
+    rows = html_block_scores(spark, sf01_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sample = by_doc[sorted(by_doc)[0]]
+    # wrapper layout: block 0 = nav (link-dense), 1..2 = content halves,
+    # 3 = footer link, plus a trailing empty split
+    nav = sample[0]
+    assert nav["link_density"] > 0.33 and not nav["kept"]
+    content = [r for r in sample if r["block_idx"] in (1, 2)]
+    assert all(r["link_len"] == 0 for r in content)
+    # long docs: both halves kept
+    longdocs = [d for d, rs in by_doc.items()
+                if all(r["text_len"] >= 25 for r in rs if r["block_idx"] in (1, 2))]
+    assert longdocs, "corpus should contain docs with >=50-char texts"
+    for d in longdocs[:5]:
+        assert all(r["kept"] for r in by_doc[d] if r["block_idx"] in (1, 2))

@@ -261,41 +261,35 @@ def main() -> None:
     all_queries = {**QUERIES, **EXTRA_QUERIES}
     spark = get_spark(app_name="pageeval-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    def time_query(fn) -> float:
+        """Warmup + min-of-2 timed runs: a single run is hostage to
+        noisy-neighbor spikes on this shared host (BENCH_r02 read as a broad
+        regression purely from one noisy window — VERDICT r2 #3)."""
+        def run_query():
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        run_query()  # warmup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     qtimes: dict[str, float] = {}
+    extra_times: dict[str, float | str] = {}
     try:
         for name in HEADLINE:
-            fn = all_queries[name]
-
-            def run_query(fn=fn):
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-
-            run_query()  # warmup
-            # min-of-2 timed runs: a single run is hostage to noisy-neighbor
-            # spikes on this shared host (BENCH_r02 read as a broad regression
-            # purely from one noisy window — VERDICT r2 #3)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                run_query()
-                best = min(best, time.perf_counter() - t0)
-            qtimes[name] = round(best, 3)
+            qtimes[name] = time_query(all_queries[name])
         qtimes["ocr_pipeline"] = pipeline[f"sec_{CPUS}c"]
         # new-operator timings, reported OUTSIDE the headline total so the
-        # round-over-round suite comparison stays apples-to-apples
-        extra_times: dict[str, float] = {}
+        # round-over-round suite comparison stays apples-to-apples; like the
+        # skew metric, a failure here must not sink the whole bench run
         for name in EXTRA_HEADLINE:
-            fn = all_queries[name]
-
-            def run_extra(fn=fn):
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-
-            run_extra()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                run_extra()
-                best = min(best, time.perf_counter() - t0)
-            extra_times[name] = round(best, 3)
+            try:
+                extra_times[name] = time_query(all_queries[name])
+            except Exception as e:  # noqa: BLE001
+                extra_times[name] = f"error: {str(e)[:200]}"
     finally:
         spark.stop()
 

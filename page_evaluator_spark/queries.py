@@ -1026,13 +1026,9 @@ WITH norm AS (
 )
 """
 
-
-def dedup_minhash_pairs(spark, sf_dir):
-    return (DD.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
-            .orderBy("doc_a", "doc_b"))
-
-
-_MINHASH_SQL = _SHINGLE_CTE + r""",
+# shared MinHash CTE tail (16 hashes, 4 bands of 4) — appended after a
+# shingles(...) CTE; four twins derive candidate pairs from these bands
+_MINHASH_BANDS_CTES = r""",
 mh AS (
   SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
   FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
@@ -1040,7 +1036,16 @@ mh AS (
 ), bands AS (
   SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
   FROM mh GROUP BY doc_id, h // 4
-)
+)"""
+
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return (DD.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+_MINHASH_SQL = _SHINGLE_CTE + _MINHASH_BANDS_CTES + r"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
@@ -1172,14 +1177,7 @@ def _source_prior_sql(iters: int = 10, damping_pct: int = 85) -> str:
     PageRank CTE chain (redistributing) + the shared rollup base."""
     from .operators.graph import PR_FXP
 
-    return (_SHINGLE_CTE + r""", mh AS (
-  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
-  GROUP BY doc_id, h
-), bands AS (
-  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
-  FROM mh GROUP BY doc_id, h // 4
-), pairs AS (
+    return (_SHINGLE_CTE + _MINHASH_BANDS_CTES + r""", pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), edges AS (
@@ -1268,15 +1266,7 @@ def dedup_cross_corpus(spark, sf_dir):
             .orderBy("new_id", "ref_id"))
 
 
-_CROSS_MINHASH_SQL = _SHINGLE_CTE + r""",
-mh AS (
-  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
-  GROUP BY doc_id, h
-), bands AS (
-  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
-  FROM mh GROUP BY doc_id, h // 4
-)
+_CROSS_MINHASH_SQL = _SHINGLE_CTE + _MINHASH_BANDS_CTES + r"""
 SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
 FROM bands n JOIN bands r ON n.band_key = r.band_key
 WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
@@ -1384,15 +1374,8 @@ def dedup_clusters(spark, sf_dir):
     return _cc(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-_CLUSTERS_SQL = ("WITH RECURSIVE " + _SHINGLE_CTE[len("WITH "):]) + r""",
-mh AS (
-  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mhv
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
-  GROUP BY doc_id, h
-), bands AS (
-  SELECT doc_id, CAST(h // 4 AS VARCHAR) || '|' || string_agg(mhv, '|' ORDER BY h) AS band_key
-  FROM mh GROUP BY doc_id, h // 4
-), prs AS (
+_CLUSTERS_SQL = ("WITH RECURSIVE " + _SHINGLE_CTE[len("WITH "):]
+                 + _MINHASH_BANDS_CTES) + r""", prs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), sym AS (
@@ -1434,7 +1417,7 @@ def domain_mixture_sample(spark, sf_dir):
     budget (r5) — the corpus-mixing step of a training-data pipeline: flatten
     per-source token shares with p^α, split the budget proportionally, then
     keep a deterministic md5-shuffled prefix of each source up to its quota.
-    Output is the per-source audit rollup incl. a DECIMAL(38,0) set-equality
+    Output is the per-source audit rollup incl. a BIGINT bit_xor set-equality
     checksum of the kept doc ids."""
     from .operators.curation import domain_mixture_sample as _dm
 
@@ -1482,6 +1465,11 @@ ORDER BY c.source
 """
 
 
+# one definition feeds both the Spark query and the generated twin so the
+# two populations can never drift (code-review r5)
+_DSIR_QUALITY_THRESHOLD = 0.5
+
+
 def dsir_importance_sample(spark, sf_dir):
     """DSIR-shaped importance resampling (r5): hashed-unigram target/raw
     ratio scoring (fixed-point rationals instead of logs — see
@@ -1490,10 +1478,11 @@ def dsir_importance_sample(spark, sf_dir):
     from .operators.curation import dsir_importance_sample as _ds
 
     return _ds(load(spark, sf_dir, "documents"), n_buckets=256, top_k=100,
-               quality_threshold=0.5)
+               quality_threshold=_DSIR_QUALITY_THRESHOLD)
 
 
-def _dsir_sql(n_buckets: int = 256, top_k: int = 100) -> str:
+def _dsir_sql(n_buckets: int = 256, top_k: int = 100,
+              quality_threshold: float = _DSIR_QUALITY_THRESHOLD) -> str:
     fxp = 1 << 20
     return rf"""
 WITH base AS (
@@ -1518,7 +1507,8 @@ WITH base AS (
                       '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
         FROM base)
 ), raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM tb GROUP BY b),
-tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tb WHERE q >= 0.5 GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tb
+        WHERE q >= {quality_threshold} GROUP BY b),
 lr AS (
   SELECT raw.b, (coalesce(t_cnt, 0) + 1) * {fxp} // (r_cnt + 1) AS lr_fx
   FROM raw LEFT JOIN tgt ON raw.b = tgt.b

@@ -64,21 +64,70 @@ _SPARK_TOKENS = {
 }
 
 
-def _canon_type(s: str, tokens: dict) -> str:
-    s = s.lower().replace("timestamp with time zone", "timestamp")
-    # DuckDB list syntax X[] -> array<X> (loop handles nesting)
-    prev = None
-    while prev != s:
-        prev = s
-        s = re.sub(r"(\w+(?:\([^()]*\))?)\[\]", r"array<\1>", s)
-    return re.sub(r"[a-z_]\w*",
-                  lambda m: tokens.get(m.group(0), m.group(0)), s).replace(" ", "")
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at nesting depth 0 (parens/angles/brackets)."""
+    parts, depth, cur = [], 0, ""
+    for ch in s:
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    return parts
+
+
+def _canon_duck(s: str) -> str:
+    s = s.strip().lower().replace("timestamp with time zone", "timestamp")
+    if s.endswith("[]"):
+        return f"array<{_canon_duck(s[:-2])}>"
+    m = re.fullmatch(r"struct\((.*)\)", s, re.S)
+    if m:
+        fields = []
+        for f in _split_top(m.group(1)):
+            name, _, typ = f.strip().partition(" ")
+            fields.append(f"{name.strip(chr(34))}:{_canon_duck(typ)}")
+        return "struct<" + ",".join(fields) + ">"
+    m = re.fullmatch(r"map\((.*)\)", s, re.S)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{_canon_duck(k)},{_canon_duck(v)}>"
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _DUCK_TOKENS.get(s, s)
+
+
+def _canon_spark(s: str) -> str:
+    s = s.strip().lower()
+    m = re.fullmatch(r"array<(.*)>", s, re.S)
+    if m:
+        return f"array<{_canon_spark(m.group(1))}>"
+    m = re.fullmatch(r"map<(.*)>", s, re.S)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{_canon_spark(k)},{_canon_spark(v)}>"
+    m = re.fullmatch(r"struct<(.*)>", s, re.S)
+    if m:
+        fields = []
+        for f in _split_top(m.group(1)):
+            name, _, typ = f.partition(":")
+            fields.append(f"{name.strip()}:{_canon_spark(typ)}")
+        return "struct<" + ",".join(fields) + ">"
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _SPARK_TOKENS.get(s, s)
 
 
 def _assert_dtype_parity(spark_df, rel, name: str):
-    spark_types = {f.name: _canon_type(f.dataType.simpleString(), _SPARK_TOKENS)
+    spark_types = {f.name: _canon_spark(f.dataType.simpleString())
                    for f in spark_df.schema.fields}
-    duck_types = {c: _canon_type(str(t), _DUCK_TOKENS)
+    duck_types = {c: _canon_duck(str(t))
                   for c, t in zip(rel.columns, rel.types)}
     assert spark_types == duck_types, (
         f"{name}: engine/oracle dtype drift\n  spark: {spark_types}\n  duck:  {duck_types}")

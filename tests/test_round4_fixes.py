@@ -345,8 +345,16 @@ def test_ivf_kmeans_degenerate_inputs_raise(spark):
                               "vec_id: long, embedding: array<double>")
     with pytest.raises(ValueError, match="n_cells >= 1"):
         ivf_centroids(e, 0)
+    # seed 0 is an empty vector: since r5 the zero-norm guard fires first
+    # (an empty vector is zero-norm — NaN cosine either way)
+    with pytest.raises(ValueError, match="zero-norm"):
+        ivf_kmeans_centroids(e, 2)
+    # ragged NON-empty seeds still reach the dim-inference guard
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0]), (2, [3.0, 4.0])],
+        "vec_id: long, embedding: array<double>")
     with pytest.raises(ValueError, match="infer embedding dim"):
-        ivf_kmeans_centroids(e, 2)  # seed 0 is an empty vector
+        ivf_kmeans_centroids(ragged, 2)
 
 
 def test_unigram_lm_scores_semantics_and_determinism(spark):

@@ -41,7 +41,7 @@ def test_pagerank_dangling_conserves_mass(spark):
     pairs = [(f"n{i}", "sink") for i in range(1, 6)] + [("n1", "n2")]
     leaky = pagerank_int(_edges(spark, pairs), iters=8)
     red = pagerank_int(_edges(spark, pairs), iters=8, redistribute_dangling=True)
-    n = 7
+    n = 6  # nodes: n1..n5 + sink
     mass_leaky = sum(r["rank_i"] for r in leaky.collect())
     mass_red = sum(r["rank_i"] for r in red.collect())
     # redistribution: lost mass bounded by floor-division dust per round/node
@@ -132,17 +132,25 @@ def test_ivf_centroids_rejects_zero_norm_seed(spark):
 # ---------------------------------------------------------------------------
 
 def test_dtype_canonicalizer_tokens():
-    from tests.test_queries import _DUCK_TOKENS, _SPARK_TOKENS, _canon_type
+    from tests.test_queries import _canon_duck, _canon_spark
 
-    assert _canon_type("HUGEINT", _DUCK_TOKENS) == "int128"
-    assert _canon_type("BIGINT", _DUCK_TOKENS) == \
-        _canon_type("bigint", _SPARK_TOKENS) == "int64"
-    assert _canon_type("BIGINT[]", _DUCK_TOKENS) == \
-        _canon_type("array<bigint>", _SPARK_TOKENS) == "array<int64>"
-    assert _canon_type("DECIMAL(38,0)", _DUCK_TOKENS) == "decimal(38,0)"
+    assert _canon_duck("HUGEINT") == "int128"
+    assert _canon_duck("BIGINT") == _canon_spark("bigint") == "int64"
+    assert _canon_duck("BIGINT[]") == _canon_spark("array<bigint>") \
+        == "array<int64>"
+    assert _canon_duck("DECIMAL(38,0)") == _canon_spark("decimal(38,0)") \
+        == "decimal(38,0)"
+    # nested containers (code-review r5: the flat regex version false-failed)
+    assert _canon_duck("BIGINT[][]") == _canon_spark("array<array<bigint>>") \
+        == "array<array<int64>>"
+    assert _canon_duck("STRUCT(a BIGINT, b VARCHAR)") == \
+        _canon_spark("struct<a:bigint,b:string>") == "struct<a:int64,b:str>"
+    assert _canon_duck("MAP(VARCHAR, BIGINT)") == \
+        _canon_spark("map<string,bigint>") == "map<str,int64>"
+    assert _canon_duck("STRUCT(a DOUBLE[])") == \
+        _canon_spark("struct<a:array<double>>") == "struct<a:array<float64>>"
     # the class of failure r4 shipped: HUGEINT != int64
-    assert _canon_type("HUGEINT", _DUCK_TOKENS) != \
-        _canon_type("bigint", _SPARK_TOKENS)
+    assert _canon_duck("HUGEINT") != _canon_spark("bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -340,3 +340,39 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return (pairs.withColumn("hamming", hamming.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
+                        top_k: int = 100, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-span detection — the candidate stage of
+    EXACT-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", which uses a suffix array for the same
+    question): every width-char window of the normalized text, grouped BY
+    THE SUBSTRING ITSELF (no hash-collision verification stage needed),
+    kept when it appears in >= min_docs distinct documents.
+
+    Returns the top_k spans by (n_docs DESC, n_occ DESC, span) — a total
+    order, so the cut is deterministic.
+
+    Scale shape: the window explode is O(total chars) rows — the same
+    asymptotics a suffix array pays — but each row is (hashable substring,
+    doc_id) flowing into ONE map-side-combined agg; the normalized text is
+    materialized behind an exchange first (the Catalyst nested-array
+    recompute trap: inlined, the normalization regex would re-run per
+    window — measured 100x on winnow_fingerprints).  The final cut is
+    orderBy+limit = TakeOrderedAndProject, never a global window."""
+    t = normalized_text(F.col(text_col))
+    staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+              .repartition("doc_id"))  # exchange = materialization boundary
+    n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
+    wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                      lambda i: F.substring(F.col("t"), i, width))
+    spans = (staged.where(n_wins > 0)
+             .select("doc_id", F.explode(wins).alias("span")))
+    return (spans.groupBy("span")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .where(F.col("n_docs") >= min_docs)
+            .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
+            .limit(top_k))

@@ -99,3 +99,36 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = 8,
     rows = bpe_train(docs, n_merges, text_col)
     return spark.createDataFrame(
         rows, "rank: int, pair: string, merged: string, freq: long")
+
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Apply the corpus-trained merges back to the corpus — the encode half
+    of the tokenizer loop (train → ship merge table → tokenize): per
+    document, how many symbols the text is before (= chars) and after the
+    learned merges.  The merge table is a driver-side list (K rows, the
+    artifact a tokenizer ships); applying it is a PURE PROJECTION — K
+    chained delimiter-anchored replaces on the spaced-symbol string, fully
+    codegen'd, zero shuffle until the per-doc sum.
+
+    Returns (doc_id, n_words, n_base_syms, n_bpe_syms)."""
+    from .skew import ensure_min_parallelism
+
+    merges = bpe_train(docs, n_merges, text_col)
+    words = (ensure_min_parallelism(docs)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.regexp_extract_all(
+                         F.lower(F.col(text_col)),
+                         F.lit(PORTABLE_TOKEN_RE), 0)).alias("word")))
+    spaced = _to_symbols(F.col("word"))
+    for _rank, pair, merged, _freq in merges:
+        a, b = pair.split(" ")
+        spaced = F.replace(spaced, F.lit(f" {a}  {b} "), F.lit(f" {merged} "))
+    n_syms = F.size(F.split(F.trim(spaced), "  "))
+    return (words.select("doc_id", F.length("word").alias("n_chars"),
+                         n_syms.alias("n"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("n_chars").cast("bigint").alias("n_base_syms"),
+                 F.sum("n").cast("bigint").alias("n_bpe_syms")))

@@ -1052,6 +1052,37 @@ ORDER BY doc_a, doc_b
 """
 
 
+def repeated_substrings(spark, sf_dir):
+    """Cross-document repeated-span detection (r5) — the candidate stage of
+    exact-substring dedup (Lee et al. 2021 use a suffix array for the same
+    question): every 24-char window of the normalized text grouped by the
+    substring itself, kept when it spans >= 2 distinct docs, top-100 by
+    (n_docs, n_occ, span)."""
+    from .operators.dedup import repeated_substrings as _rs
+
+    return _rs(load(spark, sf_dir, "documents"), width=24, min_docs=2,
+               top_k=100)
+
+
+def _repeated_spans_sql(width: int = 24, min_docs: int = 2,
+                        top_k: int = 100) -> str:
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, substr(t, i, {width}) AS span
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {width - 1}, 0) + 1)) AS i
+        FROM norm)
+)
+SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY n_docs DESC, n_occ DESC, span LIMIT {top_k}
+"""
+
+
 def bpe_merges(spark, sf_dir):
     """Tokenizer training (r4): the first 8 BPE merges learned from the
     corpus word-frequency table — an iterative Spark job whose per-round
@@ -1064,9 +1095,12 @@ def bpe_merges(spark, sf_dir):
         .orderBy("rank")
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
-    """Generated twin of operators/tokenizer.py::bpe_train: one (pairs →
-    best → merged-vocab) CTE triple per round."""
+def _bpe_chain(n_merges: int) -> str:
+    """The training CTE chain of operators/tokenizer.py::bpe_train: one
+    (pairs → best → merged-vocab) triple per round.  vocab{r}/best{r} are
+    MATERIALIZED: vocab{r-1} is referenced twice per round (pair counting +
+    merge rewrite) and DuckDB's default CTE inlining would copy the subtree
+    2^rounds times (same fix as the PageRank dangling chain)."""
     rounds = []
     for r in range(1, n_merges + 1):
         rounds.append(f""", p{r} AS (
@@ -1075,29 +1109,76 @@ def _bpe_sql(n_merges: int = 8) -> str:
         FROM (SELECT string_split(trim(syms), '  ') AS s, cnt FROM vocab{r - 1})
         WHERE len(s) >= 2)
   GROUP BY 1
-), best{r} AS (
+), best{r} AS MATERIALIZED (
   SELECT pair, total FROM p{r} ORDER BY total DESC, pair LIMIT 1
-), vocab{r} AS (
+), vocab{r} AS MATERIALIZED (
   SELECT replace(syms,
                  ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
                  ' ' || replace(b.pair, ' ', '') || ' ') AS syms, cnt
   FROM vocab{r - 1}, best{r} b
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {r - 1} AS rank, pair, replace(pair, ' ', '') AS merged, "
-        f"CAST(total AS BIGINT) AS freq FROM best{r}" for r in range(1, n_merges + 1))
     return rf"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text),
                 '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS word
   FROM documents
-), vocab0 AS (
+), vocab0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS syms, count(*) AS cnt
   FROM toks GROUP BY 1
-){''.join(rounds)}
+){''.join(rounds)}"""
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Generated twin of operators/tokenizer.py::bpe_train."""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r - 1} AS rank, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(total AS BIGINT) AS freq FROM best{r}" for r in range(1, n_merges + 1))
+    return _bpe_chain(n_merges) + f"""
 SELECT CAST(rank AS INT) AS rank, pair, merged, freq FROM ({finals})
 ORDER BY rank
 """
+
+
+def bpe_token_counts(spark, sf_dir):
+    """Tokenizer encode pass (r5): the corpus-trained merge table applied
+    back to every document — per-doc word count, base symbol count (chars)
+    and post-merge symbol count.  Train = the bpe_merges iterative job;
+    encode = K chained delimiter-anchored replaces, a pure projection (see
+    operators/tokenizer.py::bpe_encode_counts)."""
+    from .operators.tokenizer import bpe_encode_counts
+
+    return bpe_encode_counts(load(spark, sf_dir, "documents"), n_merges=8) \
+        .orderBy("doc_id")
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Twin of bpe_token_counts: the shared training chain re-derives the
+    best{r} merge rows, then a u0..u{K} replace chain applies them to every
+    DISTINCT word and the per-doc sums join through the word map."""
+    parts = [_bpe_chain(n_merges), r""", dwords AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS word
+  FROM documents
+), u0 AS (
+  SELECT DISTINCT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS s FROM dwords
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", u{r} AS (
+  SELECT word, replace(s,
+                 ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS s
+  FROM u{r - 1}, best{r} b
+)""")
+    parts.append(f""", wmap AS (
+  SELECT word, len(string_split(trim(s), '  ')) AS n FROM u{n_merges}
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_base_syms,
+       CAST(sum(w.n) AS BIGINT) AS n_bpe_syms
+FROM dwords d JOIN wmap w ON d.word = w.word
+GROUP BY d.doc_id ORDER BY doc_id
+""")
+    return "".join(parts)
 
 
 def _purchase_edges(spark, sf_dir):
@@ -2776,6 +2857,8 @@ QUERIES: dict[str, Query] = {
     "domain_mixture_sample": domain_mixture_sample,
     "dsir_importance_sample": dsir_importance_sample,
     "html_block_scores": html_block_scores,
+    "repeated_substrings": repeated_substrings,
+    "bpe_token_counts": bpe_token_counts,
     # -- new / plan-changed r4 --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
@@ -2819,12 +2902,10 @@ QUERIES: dict[str, Query] = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
     "lexicon_match_rate": lexicon_match_rate,
-    "simhash_near_pairs": simhash_near_pairs,
     "pack_token_budget": pack_token_budget,
     "doc_pii_scan": doc_pii_scan,
     "curation_filter_audit": curation_filter_audit,
     "benchmark_decontaminate": benchmark_decontaminate,
-    "doc_winnow_fp": doc_winnow_fp,
     "ann_cosine_topk": ann_cosine_topk,
 }
 
@@ -2861,6 +2942,12 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "html_main_content": "r4",       # frozen-rule sibling in window:
                                      # html_block_scores (same machinery,
                                      # per-block detail)
+    "simhash_near_pairs": "r4",      # near-dup family in window: ngram_jaccard,
+                                     # dedup_cross_corpus, semantic_dedup,
+                                     # repeated_substrings (new)
+    "doc_winnow_fp": "r4",           # span-hash family in window:
+                                     # repeated_substrings (new); doc_fingerprints
+                                     # parked sibling
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2887,6 +2974,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q5_region_revenue": q5_region_revenue,
     "stratified_sample": stratified_sample,
     "html_main_content": html_main_content,
+    "simhash_near_pairs": simhash_near_pairs,
+    "doc_winnow_fp": doc_winnow_fp,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -2949,6 +3038,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_budget": _PACK_SQL,
         "domain_mixture_sample": _mixture_sql(),
         "html_block_scores": _html_blocks_sql(),
+        "repeated_substrings": _repeated_spans_sql(),
+        "bpe_token_counts": _bpe_encode_sql(),
         "dsir_importance_sample": _dsir_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,

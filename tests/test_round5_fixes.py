@@ -248,3 +248,50 @@ def test_html_block_scores_discriminates_nav_from_content(spark, sf01_dir):
     assert longdocs, "corpus should contain docs with >=50-char texts"
     for d in longdocs[:5]:
         assert all(r["kept"] for r in by_doc[d] if r["block_idx"] in (1, 2))
+
+
+# ---------------------------------------------------------------------------
+# r5: exact-substring candidate stage + BPE encode pass
+# ---------------------------------------------------------------------------
+
+def test_repeated_substrings_finds_planted_span(spark):
+    from page_evaluator_spark.operators.dedup import repeated_substrings
+
+    planted = "the quick brown fox jumps over the lazy dog"
+    rng = random.Random(2)
+    rows = []
+    for i in range(20):
+        filler = " ".join(rng.choice(["x", "yz", "qqq"]) for _ in range(30))
+        text = filler + " " + planted if i % 4 == 0 else filler
+        rows.append((i, text))
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = repeated_substrings(d, width=24, min_docs=2, top_k=50).collect()
+    assert out, "planted span must surface"
+    assert any(r["span"] in planted and r["n_docs"] >= 5 for r in out)
+    # short docs (< width chars) must not contribute windows
+    short = spark.createDataFrame([(0, "tiny"), (1, "tiny")],
+                                  "doc_id: long, text: string")
+    assert repeated_substrings(short, width=24).count() == 0
+
+
+def test_bpe_encode_counts_invariants(spark):
+    from page_evaluator_spark.operators.tokenizer import bpe_encode_counts
+
+    rows = [(i, "banana band bandana " * 3) for i in range(6)]
+    rows += [(10, "zzz"), (11, "")]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    enc0 = {r["doc_id"]: r for r in bpe_encode_counts(d, n_merges=0).collect()}
+    enc4 = {r["doc_id"]: r for r in bpe_encode_counts(d, n_merges=4).collect()}
+    # zero merges: every char is a symbol
+    for did, r in enc0.items():
+        assert r["n_bpe_syms"] == r["n_base_syms"]
+    # merges strictly compress the repetitive docs, never expand any doc
+    for did, r in enc4.items():
+        assert r["n_bpe_syms"] <= r["n_base_syms"]
+    assert enc4[0]["n_bpe_syms"] < enc4[0]["n_base_syms"]
+    # the empty doc has no words -> no row (documented inner semantics)
+    assert 11 not in enc4
+    # deterministic across partitionings
+    a = sorted(map(tuple, bpe_encode_counts(d.repartition(1), 4).collect()))
+    b = sorted(map(tuple, bpe_encode_counts(d.repartition(7), 4).collect()))
+    assert a == b

@@ -57,6 +57,9 @@ EXTRA_HEADLINE = [
     "graph_pagerank_dangling",
     "domain_mixture_sample",
     "dsir_importance_sample",
+    "html_block_scores",
+    "repeated_substrings",
+    "bpe_token_counts",
 ]
 
 

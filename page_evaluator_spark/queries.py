@@ -639,8 +639,8 @@ def doc_token_counts(spark, sf_dir):
 _TOKCOUNT_SQL = r"""
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INT)
+                 ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS INT)
          AS regex_tokens
 FROM documents
 """
@@ -657,11 +657,11 @@ def doc_quality(spark, sf_dir):
 _QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id,
-         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
          length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok
   FROM documents
 )
 SELECT doc_id,
@@ -698,7 +698,7 @@ def doc_model_quality(spark, sf_dir):
 _MODEL_QUALITY_SQL = rf"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_extract_all(lower(text), '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]') AS tk
+         regexp_extract_all(lower(text), '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]') AS tk
   FROM documents
 ), stats AS (
   SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
@@ -736,7 +736,7 @@ def doc_lm_score(spark, sf_dir):
 _LM_SCORE_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS tok
+         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS tok
   FROM documents
 ), counts AS (
   SELECT tok, count(*) AS c FROM toks GROUP BY tok
@@ -806,7 +806,7 @@ def doc_fingerprints(spark, sf_dir):
 
 
 _FP_SQL = r"""
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp FROM documents
 """
 
 
@@ -853,14 +853,14 @@ _ROLLUP_BASE_CTE = r"""base AS (
                                      ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
            AS q,
          n_tok,
-         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))))
            AS canon
   FROM (SELECT source, doc_id, text,
-               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
                length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
                length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+                    ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok
         FROM documents)
 )"""
 
@@ -981,7 +981,7 @@ def _lexicon_sql() -> str:
 WITH lex(word) AS (VALUES {values}),
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text,
-         '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+         '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]')) AS tok
   FROM documents
 )
 SELECT doc_id, count(*) AS n_tokens,
@@ -1003,18 +1003,22 @@ def dedup_exact(spark, sf_dir):
 
 
 _DEDUP_EXACT_SQL = r"""
-SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS content_hash,
        count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM documents GROUP BY 1 ORDER BY content_hash
 """
 
 
 # shared shingle CTE (3-gram token shingles over normalized text)
+# Twin regex doctrine (code-review r5): Java \s is exactly the ASCII class
+# [ \t\n\x0B\f\r]; RE2's \s omits \x0B, so every DuckDB twin spells the
+# class out wherever the Spark side uses \s against document TEXT.  (The
+# HTML twins' tag patterns keep \s* — markup-internal, frozen with the rule.)
 _SHINGLE_CTE = r"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t FROM documents
 ), toks AS (
-  SELECT doc_id, regexp_extract_all(t, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]') AS tk FROM norm
+  SELECT doc_id, regexp_extract_all(t, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]') AS tk FROM norm
 ), sh3 AS (
   SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
   FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3)
@@ -1068,7 +1072,7 @@ def _repeated_spans_sql(width: int = 24, min_docs: int = 2,
                         top_k: int = 100) -> str:
     return rf"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t
   FROM documents
 ), spans AS (
   SELECT doc_id, substr(t, i, {width}) AS span
@@ -1120,7 +1124,7 @@ def _bpe_chain(n_merges: int) -> str:
     return rf"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text),
-                '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS word
+                '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]')) AS word
   FROM documents
 ), vocab0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS syms, count(*) AS cnt
@@ -1157,17 +1161,23 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     DISTINCT word and the per-doc sums join through the word map."""
     parts = [_bpe_chain(n_merges), r""", dwords AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text),
-                 '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS word
+                 '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS word
   FROM documents
 ), u0 AS (
   SELECT DISTINCT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS s FROM dwords
 )"""]
     for r in range(1, n_merges + 1):
+        # LEFT JOIN ON TRUE + CASE: when the corpus exhausts its merges
+        # before round r, best{r} is empty and a plain cross join would
+        # silently empty the whole word map — bpe_train `break`s instead
+        # (code-review r5, verified 0-vs-N divergence on a tiny corpus)
         parts.append(f""", u{r} AS (
-  SELECT word, replace(s,
+  SELECT word,
+         CASE WHEN b.pair IS NULL THEN s
+              ELSE replace(s,
                  ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
-                 ' ' || replace(b.pair, ' ', '') || ' ') AS s
-  FROM u{r - 1}, best{r} b
+                 ' ' || replace(b.pair, ' ', '') || ' ') END AS s
+  FROM u{r - 1} LEFT JOIN best{r} b ON TRUE
 )""")
     parts.append(f""", wmap AS (
   SELECT word, len(string_split(trim(s), '  ')) AS n FROM u{n_merges}
@@ -1407,9 +1417,9 @@ def _simhash_sql(max_hamming: int = 16) -> str:
         f"CASE WHEN lo_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32))
     return rf"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t FROM documents
 ), toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(t, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(t, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]')) AS tok
   FROM norm
 ), hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
@@ -1509,7 +1519,7 @@ def _mixture_sql(budget_pct: int = 50) -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(regexp_extract_all(text, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]'))
+         CAST(len(regexp_extract_all(text, '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]'))
               AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS shuf
   FROM documents
@@ -1574,18 +1584,18 @@ WITH base AS (
                                      ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
            AS q
   FROM (SELECT doc_id, text,
-               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
                length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS alpha,
                length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS punct,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+                    ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok
         FROM documents)
 ), tb AS (
   SELECT doc_id, q,
          ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets} AS b
   FROM (SELECT doc_id, q,
                unnest(regexp_extract_all(lower(text),
-                      '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}}\s]')) AS tok
+                      '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]')) AS tok
         FROM base)
 ), raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM tb GROUP BY b),
 tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tb
@@ -1617,7 +1627,7 @@ _PACK_SQL = r"""
 WITH t AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
-         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), c AS (
@@ -1673,7 +1683,7 @@ def tfidf_top_terms(spark, sf_dir):
 _TFIDF_SQL = r"""
 WITH toks AS (
   SELECT doc_id, lang,
-         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS term
+         unnest(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3
@@ -1711,7 +1721,7 @@ def doc_winnow_fp(spark, sf_dir):
 
 _WINNOW_SQL = r"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t FROM documents
 ), g AS (
   SELECT doc_id, t, greatest(length(t) - 7, 0) AS n_grams FROM norm
 ), h AS (
@@ -1863,7 +1873,7 @@ WITH lines AS (
               ELSE 0.0 END AS dup_line_frac
   FROM lines
 ), toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]') AS tk
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]') AS tk
   FROM documents
 ), bg AS (
   SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
@@ -1981,14 +1991,14 @@ FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
 _FILTER_AUDIT_SQL = r"""
 WITH base AS (
   SELECT doc_id, lang, text,
-         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INT)
+         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS INT)
            AS n_tokens,
-         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
          length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tok,
-         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_ws_tok,
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))))
            AS canonical_id
   FROM documents
 ), q AS (
@@ -2609,8 +2619,10 @@ def html_block_scores(spark, sf_dir):
 
 def _html_blocks_sql() -> str:
     """Twin of html_block_scores: the _html_main_sql split/clean machinery,
-    fanned out per block with the BPE twin's unnest(range()) index idiom."""
-    from .functions.html import _ENTITIES
+    fanned out per block with the BPE twin's unnest(range()) index idiom.
+    The keep-rule constants interpolate from functions/html.py so query and
+    twin cannot drift (code-review r5)."""
+    from .functions.html import _ENTITIES, MAX_LINK_DENSITY, MIN_BLOCK_CHARS
 
     pre = ("<html><body><div><a href=''/''>Home</a> <a href=''/a''>About</a></div>"
            "<p>")
@@ -2649,7 +2661,8 @@ WITH blocks AS (
 SELECT doc_id, CAST(block_idx AS INT) AS block_idx, text_len, link_len,
        CASE WHEN text_len = 0 THEN 0.0
             ELSE round(link_len / CAST(text_len AS DOUBLE), 6) END AS link_density,
-       (text_len >= 25 AND CAST(link_len AS DOUBLE) <= 0.33 * CAST(text_len AS DOUBLE))
+       (text_len >= {MIN_BLOCK_CHARS}
+        AND CAST(link_len AS DOUBLE) <= {MAX_LINK_DENSITY} * CAST(text_len AS DOUBLE))
          AS kept
 FROM lens ORDER BY doc_id, block_idx
 """

@@ -295,3 +295,22 @@ def test_bpe_encode_counts_invariants(spark):
     a = sorted(map(tuple, bpe_encode_counts(d.repartition(1), 4).collect()))
     b = sorted(map(tuple, bpe_encode_counts(d.repartition(7), 4).collect()))
     assert a == b
+
+
+def test_bpe_encode_twin_survives_merge_exhaustion(spark, ddb_tiny=None):
+    """code-review r5: when the corpus supports fewer merges than n_merges,
+    bpe_train breaks early; the encode twin's u-chain must degrade the same
+    way (LEFT JOIN ON TRUE), not cross-join against an empty best{r}."""
+    import duckdb
+
+    from page_evaluator_spark.operators.tokenizer import bpe_encode_counts
+    from page_evaluator_spark.queries import _bpe_encode_sql
+
+    d = spark.createDataFrame([(1, "ab ab ab"), (2, "ab cd")],
+                              "doc_id: long, text: string")
+    sp = sorted(map(tuple, bpe_encode_counts(d, n_merges=8).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS "
+                "SELECT 1 AS doc_id, 'ab ab ab' AS text UNION ALL SELECT 2, 'ab cd'")
+    op = sorted(map(tuple, con.sql(_bpe_encode_sql(8)).fetchall()))
+    assert sp == op and len(sp) == 2

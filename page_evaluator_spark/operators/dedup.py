@@ -376,3 +376,46 @@ def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
             .where(F.col("n_docs") >= min_docs)
             .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
             .limit(top_k))
+
+
+def minhash_band_keys_expr(text: Column, shingle_n: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> Column:
+    """Per-row MinHash band keys — NO aggregation, so a STREAMING source can
+    band its documents statelessly (the agg shape would be a stateful
+    streaming aggregation needing watermark/output-mode machinery).
+
+    Bit-identical to minhash_signatures_agg + minhash_band_key_array
+    (pinned by tests/test_round5_fixes.py): per hash i, min over the shingle
+    array of md5('i:' || shingle), then the shared 'b|mh|mh|..' band format.
+    NULL when the document has no shingles — the agg path emits no row for
+    those docs, so both shapes contribute nothing to a band join.
+
+    The md5 work is identical to the agg path (16 × n_shingles either way);
+    the shingle-array expression is inlined into each of the 16 folds (the
+    documented Catalyst inlining behavior), re-running tokenization 16× per
+    row — acceptable for per-document streaming ingest, NOT the shape to
+    batch-scan 100 TB with (use minhash_signatures_agg there)."""
+    sh = token_shingles(text, shingle_n)
+
+    def _hash_fold(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    mins = [F.array_min(F.transform(sh, _hash_fold(i))) for i in range(num_hashes)]
+    rpb = num_hashes // bands
+    keys = F.array(*[
+        F.concat_ws("|", F.lit(str(b)), *[mins[b * rpb + r] for r in range(rpb)])
+        for b in range(bands)])
+    return F.when(F.size(sh) > 0, keys)
+
+
+def reference_band_index(ref_docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_n: int = 3,
+                         num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(ref_id, band_key) — the stored-at-rest band index of an already-
+    ingested corpus (computed ONCE via the scalable agg path; at production
+    scale this table is persisted and bucketed by band_key)."""
+    sigs = minhash_signatures_agg(ref_docs, text_col, id_col, shingle_n,
+                                  num_hashes)
+    return sigs.select(F.col("doc_id").alias("ref_id"),
+                       F.explode(minhash_band_key_array(num_hashes, bands))
+                       .alias("band_key"))

@@ -401,3 +401,48 @@ def run_watermarked_event_windows(spark: SparkSession, events_path: str,
     out = agg.select(F.col("win.start").alias("win_start"),
                      F.col("win.end").alias("win_end"), "event_type", "n")
     return _run_to_memory(out, "event_windows", "append")
+
+
+def run_stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
+                                 ref_docs: DataFrame, checkpoint_dir: str,
+                                 out_ref: str) -> DataFrame:
+    """STREAMING daily-ingest dedup (r5): newly landed documents are banded
+    PER ROW (minhash_band_keys_expr — a stateless projection, so no
+    streaming-aggregation state/watermark machinery) and joined
+    stream-static against the reference corpus' precomputed band index —
+    the production shape where ref signatures are computed once and stored.
+
+    Stateless join ⇒ each new doc's (new_id, ref_id) candidate matches are
+    emitted exactly once per file arrival (the file source's checkpoint
+    tracks processed files); the write is the Catalog keyed-batch pattern
+    (idempotent overwrite per batch id), so crash-replay stays
+    exactly-once.  Restartable: keep the checkpoint, land more files, rerun
+    — only the new files' matches are appended (pinned by test).
+
+    Returns the distinct accumulated candidate table (new_id, ref_id)."""
+    from ..operators.dedup import minhash_band_keys_expr, reference_band_index
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    ref_bands = reference_band_index(ref_docs)
+    schema = spark.read.parquet(new_docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_docs_dir)
+    keys = minhash_band_keys_expr(F.col("text"))
+    new_bands = (stream
+                 .select(F.col("doc_id").alias("new_id"), keys.alias("ks"))
+                 .where(F.col("ks").isNotNull())
+                 .select("new_id", F.explode("ks").alias("band_key")))
+    joined = new_bands.join(ref_bands, "band_key")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = (batch_df.select("new_id", "ref_id").distinct()
+                 .withColumn("_batch_id", F.lit(batch_id)))
+        cat.append(pairs, out_ref, run_id=f"batch{batch_id}",
+                   replace_where=f"_batch_id = {batch_id}")
+
+    q = (joined.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return cat.read(out_ref).select("new_id", "ref_id").distinct()

@@ -314,3 +314,52 @@ def test_bpe_encode_twin_survives_merge_exhaustion(spark, ddb_tiny=None):
                 "SELECT 1 AS doc_id, 'ab ab ab' AS text UNION ALL SELECT 2, 'ab cd'")
     op = sorted(map(tuple, con.sql(_bpe_encode_sql(8)).fetchall()))
     assert sp == op and len(sp) == 2
+
+
+# ---------------------------------------------------------------------------
+# r5: streaming incremental dedup (stream-static band join)
+# ---------------------------------------------------------------------------
+
+def test_minhash_band_keys_expr_matches_agg_path(spark, sf01_dir):
+    from page_evaluator_spark.operators.dedup import (
+        minhash_band_key_array,
+        minhash_band_keys_expr,
+        minhash_signatures_agg,
+    )
+
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(120)
+    agg = {r["doc_id"]: sorted(r["ks"]) for r in
+           minhash_signatures_agg(d)
+           .select("doc_id", minhash_band_key_array(16, 4).alias("ks")).collect()}
+    row = {r["doc_id"]: sorted(r["ks"]) for r in
+           d.select("doc_id", minhash_band_keys_expr(F.col("text")).alias("ks"))
+           .where(F.col("ks").isNotNull()).collect()}
+    assert agg == row
+
+
+def test_stream_incremental_dedup_matches_batch_and_resumes(spark, sf01_dir, tmp_path):
+    from page_evaluator_spark.operators.dedup import cross_corpus_minhash_pairs
+    from page_evaluator_spark.streaming.jobs import run_stream_incremental_dedup
+
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    expected = sorted(map(tuple, cross_corpus_minhash_pairs(new, ref)
+                          .select("new_id", "ref_id").collect()))
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_ref = str(tmp_path / "pairs_out")
+    # first arrival: half the new corpus
+    new.where(F.col("doc_id") % 4 == 1).write.mode("append").parquet(land)
+    got1 = sorted(map(tuple,
+                      run_stream_incremental_dedup(spark, land, ref, ckpt,
+                                                   out_ref).collect()))
+    assert set(got1) <= set(expected)
+    # second arrival, SAME checkpoint: the rest lands; accumulated result
+    # must equal the batch cross-corpus join over everything
+    new.where(F.col("doc_id") % 4 == 3).write.mode("append").parquet(land)
+    got2 = sorted(map(tuple,
+                      run_stream_incremental_dedup(spark, land, ref, ckpt,
+                                                   out_ref).collect()))
+    assert got2 == expected

@@ -103,6 +103,26 @@ def main(out_dir: Path | str = GOLDEN_DIR) -> None:
     write("media_spans.parquet", media_rows,
           pa.schema([("doc_id", s), ("media_ref", s), ("kind", s)]))
 
+    # caption adjacency (r5): for each media span, the next non-media span
+    # with non-null text in document order (stable sort by offset — ties keep
+    # array order, mirrored by the query's (offset, pos) window ordering)
+    cap_rows = []
+    for d in docs:
+        spans = sorted(d["spans"], key=lambda sp: sp["offset"])
+        for idx, sp in enumerate(spans):
+            if sp["kind"] in oracle.MEDIA_KINDS:
+                cap = next((t["text"] for t in spans[idx + 1:]
+                            if t["kind"] not in oracle.MEDIA_KINDS
+                            and t["text"] is not None), None)
+                cap_rows.append([d["doc_id"], sp["offset"], sp["media_ref"],
+                                 sp["kind"],
+                                 cap[:40] if cap is not None else None,
+                                 len(cap) if cap is not None else None])
+    write("media_captions.parquet", cap_rows,
+          pa.schema([("doc_id", s), ("span_ord", i32), ("media_ref", s),
+                     ("media_kind", s), ("caption_excerpt", s),
+                     ("caption_len", i32)]))
+
 
 if __name__ == "__main__":
     main()

@@ -2488,6 +2488,39 @@ def _corpus_df(spark):
     return corpus_to_spark_df(spark, gen_corpus(100, seed=42))
 
 
+def ocr_media_captions(spark, sf_dir):
+    """Interleaved-payload adjacency (r5; north_rule 'interleaved text +
+    media documents'): for every media span, the NEXT non-media span with
+    non-null text in document order is its caption candidate — the pairing
+    a multimodal training pipeline extracts for captioning/alt-text sets.
+    A forward ignore-nulls first_value over (offset, array position)
+    handles media runs (media, media, text → both medias share the text)
+    and duplicate offsets deterministically (ties keep array order, exactly
+    the golden oracle's stable sort).  Pure window + projection — one
+    shuffle on doc_id, no join."""
+    docs = _corpus_df(spark)
+    from .operators.parse import MEDIA_KINDS
+
+    sp = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+          .select("doc_id", "pos",
+                  F.col("span.offset").alias("span_offset"),
+                  F.col("span.kind").alias("kind"),
+                  F.col("span.text").alias("text"),
+                  F.col("span.media_ref").alias("media_ref")))
+    w = (Window.partitionBy("doc_id").orderBy("span_offset", "pos")
+         .rowsBetween(1, Window.unboundedFollowing))
+    cap = F.first(F.when(~F.col("kind").isin(*MEDIA_KINDS), F.col("text")),
+                  ignorenulls=True).over(w)
+    return (sp.withColumn("cap", cap)
+            .where(F.col("kind").isin(*MEDIA_KINDS))
+            .select("doc_id",
+                    F.col("span_offset").cast("int").alias("span_ord"),
+                    "media_ref", F.col("kind").alias("media_kind"),
+                    F.substring("cap", 1, 40).alias("caption_excerpt"),
+                    F.length("cap").cast("int").alias("caption_len"))
+            .orderBy("doc_id", "span_ord", "media_ref"))
+
+
 def ocr_page_scores(spark, sf_dir):
     from .plans.pipeline import evaluate_documents
 
@@ -2809,6 +2842,7 @@ _OCR_SCORES_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_page_scores.parquet'"
 _OCR_SPANS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_spans_out.parquet'"
 _OCR_QUAR_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_quarantine.parquet'"
 _OCR_WORST_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_worst_pages.parquet'"
+_OCR_CAPTIONS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/media_captions.parquet'"
 
 
 # ---------------------------------------------------------------------------
@@ -2894,10 +2928,10 @@ QUERIES: dict[str, Query] = {
     "ocr_spans_out": ocr_spans_out,
     "ocr_quarantine": ocr_quarantine,
     "ocr_worst_pages": ocr_worst_pages,
+    "ocr_media_captions": ocr_media_captions,
     # -- streaming / media / html --
     "streaming_events_daily": streaming_events_daily,
     "streaming_click_to_purchase": streaming_click_to_purchase,
-    "media_features": media_features,
     "media_frame_sample": media_frame_sample,
     # -- relational / window / agg coverage --
     "q1_pricing_summary": q1_pricing_summary,
@@ -2961,6 +2995,9 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "doc_winnow_fp": "r4",           # span-hash family in window:
                                      # repeated_substrings (new); doc_fingerprints
                                      # parked sibling
+    "media_features": "r4",          # media family in window:
+                                     # media_frame_sample + ocr_media_captions
+                                     # (new)
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -2989,6 +3026,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "html_main_content": html_main_content,
     "simhash_near_pairs": simhash_near_pairs,
     "doc_winnow_fp": doc_winnow_fp,
+    "media_features": media_features,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -3085,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_spans_out": _OCR_SPANS_SQL,
         "ocr_quarantine": _OCR_QUAR_SQL,
         "ocr_worst_pages": _OCR_WORST_SQL,
+        "ocr_media_captions": _OCR_CAPTIONS_SQL,
         "streaming_events_daily": _STREAMING_SQL,
         "streaming_click_to_purchase": _SS_JOIN_SQL,
         # rows-only by design (the ONLY 2 of 62): events_approx_distinct and

@@ -44,10 +44,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# canonical stage order; model_filter and lm_filter are opt-in
+# canonical stage order; model_filter/lm_filter/mixture/dsir are opt-in
+# (mixture needs a `source` column; dsir imposes a hard global doc count)
 ALL_STAGES = ["strip", "filter", "model_filter", "lm_filter",
-              "decontaminate", "cluster", "pack"]
-DEFAULT_STAGES = [s for s in ALL_STAGES if s not in ("model_filter", "lm_filter")]
+              "decontaminate", "cluster", "mixture", "dsir", "pack"]
+DEFAULT_STAGES = [s for s in ALL_STAGES
+                  if s not in ("model_filter", "lm_filter", "mixture", "dsir")]
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -70,6 +72,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--langs", default="en,de,fr,es")
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
+    p.add_argument("--mixture-budget-pct", type=int, default=50,
+                   help="mixture stage: token budget as %% of corpus tokens")
+    p.add_argument("--dsir-top-k", type=int, default=1000,
+                   help="dsir stage: number of most target-like docs to keep")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -240,6 +246,29 @@ def run(spark, args) -> dict[str, int]:
         dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         mark(dupes, "cluster")
         docs = checkpoint_stage(docs.join(dupes, "doc_id", "left_anti"))
+
+    if "mixture" in args.stage_list:
+        # temperature-α source-mixture resample to the token budget (runs
+        # AFTER dedup so quotas are spent on unique content)
+        if "source" not in docs.columns:
+            raise ValueError("mixture stage needs a 'source' column in the "
+                             "input table (per-source quotas)")
+        from page_evaluator_spark.operators.curation import domain_mixture_keep
+
+        kept = domain_mixture_keep(docs, budget_pct=args.mixture_budget_pct)
+        mark(docs.join(kept, "doc_id", "left_anti"), "mixture")
+        docs = checkpoint_stage(docs.join(kept, "doc_id", "left_semi"))
+
+    if "dsir" in args.stage_list:
+        # DSIR-shaped importance selection: keep the top-k most
+        # target-distribution-like docs (target = the corpus' own
+        # high-quality slice; see operators/curation.py)
+        from page_evaluator_spark.operators.curation import dsir_importance_sample
+
+        kept = dsir_importance_sample(docs, top_k=args.dsir_top_k) \
+            .select("doc_id")
+        mark(docs.join(kept, "doc_id", "left_anti"), "dsir")
+        docs = checkpoint_stage(docs.join(kept, "doc_id", "left_semi"))
 
     catalog.overwrite(docs, f"{args.output}/clean_docs")
     catalog.overwrite(audit, f"{args.output}/curation_audit")

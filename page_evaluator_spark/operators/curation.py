@@ -449,6 +449,44 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
             for (s, t), w in zip(totals, weights)]
 
 
+def _mixture_cum(docs: DataFrame, alpha_num: int, alpha_den: int,
+                 budget_pct: int, text_col: str, source_col: str,
+                 id_col: str) -> DataFrame:
+    """Per-doc cumulative-token frame behind both mixture surfaces:
+    (doc_id, source, n_tok, cum, total_tokens, target_tokens)."""
+    from pyspark.sql import Window
+
+    from .skew import ensure_min_parallelism
+
+    targets = source_mixture_targets(docs, alpha_num, alpha_den, budget_pct,
+                                     text_col, source_col)
+    spark = docs.sparkSession
+    tgt = F.broadcast(spark.createDataFrame(
+        targets, "source: string, total_tokens: long, target_tokens: long"))
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(PORTABLE_TOKEN_RE), 0))
+    base = (ensure_min_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"),
+                    n_tok.cast("long").alias("n_tok"),
+                    F.md5(F.col(id_col).cast("string")).alias("shuf")))
+    w = (Window.partitionBy("source").orderBy("shuf", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return base.withColumn("cum", F.sum("n_tok").over(w)).join(tgt, "source")
+
+
+def domain_mixture_keep(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
+                        budget_pct: int = 50, text_col: str = "text",
+                        source_col: str = "source", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """The kept doc ids of the mixture resample — the form a curation STAGE
+    consumes (semi/anti joins against the corpus); domain_mixture_sample
+    aggregates the same frame into the per-source audit rollup."""
+    cum = _mixture_cum(docs, alpha_num, alpha_den, budget_pct, text_col,
+                       source_col, id_col)
+    return cum.where(F.col("cum") <= F.col("target_tokens")).select("doc_id")
+
+
 def domain_mixture_sample(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
                           budget_pct: int = 50, text_col: str = "text",
                           source_col: str = "source", id_col: str = "doc_id"
@@ -470,28 +508,11 @@ def domain_mixture_sample(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 
     collected), one windowed prefix-sum per source partition (the same
     sharded-prefix-sum idiom as pack_token_budget), one final |sources|-row
     agg.  Skewed sources are bounded by their quota, not their size."""
-    from pyspark.sql import Window
-
-    from .skew import ensure_min_parallelism
-
-    targets = source_mixture_targets(docs, alpha_num, alpha_den, budget_pct,
-                                     text_col, source_col)
-    spark = docs.sparkSession
-    tgt = F.broadcast(spark.createDataFrame(
-        targets, "source: string, total_tokens: long, target_tokens: long"))
-    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
-                                        F.lit(PORTABLE_TOKEN_RE), 0))
-    base = (ensure_min_parallelism(docs)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.col(source_col).alias("source"),
-                    n_tok.cast("long").alias("n_tok"),
-                    F.md5(F.col(id_col).cast("string")).alias("shuf")))
-    w = (Window.partitionBy("source").orderBy("shuf", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
                      16, 10).cast("long")
     kept = F.col("cum") <= F.col("target_tokens")
-    cum = (base.withColumn("cum", F.sum("n_tok").over(w)).join(tgt, "source")
+    cum = (_mixture_cum(docs, alpha_num, alpha_den, budget_pct, text_col,
+                        source_col, id_col)
            .withColumn("kept_key", F.when(kept, doc_key)))
     return (cum.groupBy("source")
             .agg(F.first("total_tokens").alias("total_tokens"),

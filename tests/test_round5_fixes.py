@@ -396,3 +396,48 @@ def test_r5_plan_shapes(spark, sf01_dir):
     # captions: single window pass, no join of any kind
     plan = _plan(Q.QUERIES["ocr_media_captions"](spark, sf01_dir))
     assert "Join" not in plan and "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# r5: mixture / dsir as opt-in curation stages
+# ---------------------------------------------------------------------------
+
+def test_curation_mixture_and_dsir_stages(spark, tmp_path):
+    from jobs.run_curation import parse_args, run
+
+    rng = random.Random(21)
+    rows = []
+    did = 0
+    for s, n in [("big", 40), ("small", 6)]:
+        for _ in range(n):
+            rows.append((str(did), " ".join(
+                rng.choice(["amber", "birch", "cedar", "dune", "elm"])
+                for _ in range(20)), "en", s))
+            did += 1
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id: string, text: string, lang: string,"
+                          " source: string").write.parquet(src)
+
+    counts = run(spark, parse_args(
+        ["--input", src, "--output", str(tmp_path / "o1"),
+         "--stages", "mixture", "--mixture-budget-pct", "50"]))
+    # ~half the tokens survive; every doc uniform 20 tokens -> roughly half
+    assert 0 < counts["kept"] < counts["input"]
+    audit = {r["doc_id"]: r["drop_stage"] for r in
+             spark.read.parquet(str(tmp_path / "o1/curation_audit")).collect()}
+    assert "mixture" in set(audit.values())
+
+    counts2 = run(spark, parse_args(
+        ["--input", src, "--output", str(tmp_path / "o2"),
+         "--stages", "dsir", "--dsir-top-k", "10"]))
+    assert counts2["kept"] == 10
+    assert counts2["dropped_dsir"] == counts2["input"] - 10
+
+    # mixture without a source column fails loudly
+    src2 = str(tmp_path / "nosrc")
+    spark.createDataFrame([("1", "hello world", "en")],
+                          "doc_id: string, text: string, lang: string") \
+        .write.parquet(src2)
+    with pytest.raises(ValueError, match="source"):
+        run(spark, parse_args(["--input", src2, "--output",
+                               str(tmp_path / "o3"), "--stages", "mixture"]))

@@ -73,9 +73,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
     p.add_argument("--mixture-budget-pct", type=int, default=50,
-                   help="mixture stage: token budget as %% of corpus tokens")
+                   help="mixture stage: token budget as %% of corpus tokens "
+                        "(1-100)")
     p.add_argument("--dsir-top-k", type=int, default=1000,
-                   help="dsir stage: number of most target-like docs to keep")
+                   help="dsir stage: number of most target-like docs to keep "
+                        "(>= 1)")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -92,6 +94,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--model-min-score must be in (0, 1) — it is a sigmoid score")
     if args.lm_tail is not None and args.lm_tail <= 0:
         p.error("--lm-tail must be positive (it is a mean NLL in nats)")
+    if not 1 <= args.mixture_budget_pct <= 100:
+        # out-of-range quotas silently write an EMPTY corpus with exit 0 —
+        # the same worst-failure-mode class the decontaminate guard names
+        p.error("--mixture-budget-pct must be in [1, 100]")
+    if args.dsir_top_k < 1:
+        p.error("--dsir-top-k must be >= 1")
     if "decontaminate" in stages and not args.benchmark:
         if explicit:
             # an explicitly requested stage must never silently no-op —
@@ -255,7 +263,12 @@ def run(spark, args) -> dict[str, int]:
                              "input table (per-source quotas)")
         from page_evaluator_spark.operators.curation import domain_mixture_keep
 
-        kept = domain_mixture_keep(docs, budget_pct=args.mixture_budget_pct)
+        # persist the (small) keep-set: it feeds both the audit anti-join
+        # and the survivor semi-join — unpersisted, the windowed prefix-sum
+        # selection would execute twice (the lm_filter per_doc precedent)
+        kept = domain_mixture_keep(docs, budget_pct=args.mixture_budget_pct) \
+            .persist()
+        persisted.append(kept)
         mark(docs.join(kept, "doc_id", "left_anti"), "mixture")
         docs = checkpoint_stage(docs.join(kept, "doc_id", "left_semi"))
 
@@ -266,7 +279,8 @@ def run(spark, args) -> dict[str, int]:
         from page_evaluator_spark.operators.curation import dsir_importance_sample
 
         kept = dsir_importance_sample(docs, top_k=args.dsir_top_k) \
-            .select("doc_id")
+            .select("doc_id").persist()  # ≤ top_k rows; see mixture comment
+        persisted.append(kept)
         mark(docs.join(kept, "doc_id", "left_anti"), "dsir")
         docs = checkpoint_stage(docs.join(kept, "doc_id", "left_semi"))
 

@@ -431,8 +431,16 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
     n_tok = F.size(F.regexp_extract_all(F.col(text_col),
                                         F.lit(PORTABLE_TOKEN_RE), 0))
     rows = (docs.groupBy(F.col(source_col).alias("source"))
-            .agg(F.sum(n_tok.cast("long")).alias("toks"))
+            .agg(F.coalesce(F.sum(n_tok.cast("long")), F.lit(0))
+                 .alias("toks"))
             .collect())
+    # fail loudly on NULL sources (code-review r5): they cannot take part in
+    # per-source quotas (the inner join in _mixture_cum would silently drop
+    # them) and a None key breaks the deterministic sorted fold below
+    if any(r["source"] is None for r in rows):
+        raise ValueError(
+            f"source_mixture_targets: NULL values in '{source_col}' — assign "
+            f"an explicit bucket (e.g. 'unknown') before mixture sampling")
     totals = sorted((r["source"], int(r["toks"])) for r in rows)
     grand = sum(t for _, t in totals)
     if grand == 0:

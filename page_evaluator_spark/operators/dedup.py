@@ -394,17 +394,13 @@ def minhash_band_keys_expr(text: Column, shingle_n: int = 3,
     the shingle-array expression is inlined into each of the 16 folds (the
     documented Catalyst inlining behavior), re-running tokenization 16× per
     row — acceptable for per-document streaming ingest, NOT the shape to
-    batch-scan 100 TB with (use minhash_signatures_agg there)."""
+    batch-scan 100 TB with (use minhash_signatures_agg there).
+
+    Composition of the existing minhash_signature + minhash_band_keys
+    helpers — the band-key format stays defined in exactly one place."""
     sh = token_shingles(text, shingle_n)
-
-    def _hash_fold(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    mins = [F.array_min(F.transform(sh, _hash_fold(i))) for i in range(num_hashes)]
-    rpb = num_hashes // bands
-    keys = F.array(*[
-        F.concat_ws("|", F.lit(str(b)), *[mins[b * rpb + r] for r in range(rpb)])
-        for b in range(bands)])
+    keys = minhash_band_keys(minhash_signature(sh, num_hashes), bands,
+                             num_hashes // bands)
     return F.when(F.size(sh) > 0, keys)
 
 

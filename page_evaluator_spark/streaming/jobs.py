@@ -424,7 +424,9 @@ def run_stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
     from ..sources.catalog import Catalog
 
     cat = Catalog(spark)
-    ref_bands = reference_band_index(ref_docs)
+    # persist: the static side joins into EVERY micro-batch — unpersisted,
+    # the whole reference signature agg would re-execute per batch
+    ref_bands = reference_band_index(ref_docs).persist()
     schema = spark.read.parquet(new_docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(new_docs_dir)
     keys = minhash_band_keys_expr(F.col("text"))
@@ -444,5 +446,8 @@ def run_stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        ref_bands.unpersist()
     return cat.read(out_ref).select("new_id", "ref_id").distinct()

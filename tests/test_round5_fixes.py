@@ -441,3 +441,19 @@ def test_curation_mixture_and_dsir_stages(spark, tmp_path):
     with pytest.raises(ValueError, match="source"):
         run(spark, parse_args(["--input", src2, "--output",
                                str(tmp_path / "o3"), "--stages", "mixture"]))
+
+
+def test_mixture_rejects_null_sources_and_cli_ranges(spark, tmp_path):
+    from page_evaluator_spark.operators.curation import source_mixture_targets
+
+    d = spark.createDataFrame([("1", "hello world", None), ("2", "hi", "a")],
+                              "doc_id: string, text: string, source: string")
+    with pytest.raises(ValueError, match="NULL"):
+        source_mixture_targets(d)
+
+    from jobs.run_curation import parse_args
+
+    for bad in (["--mixture-budget-pct", "0"], ["--mixture-budget-pct", "101"],
+                ["--dsir-top-k", "0"]):
+        with pytest.raises(SystemExit):
+            parse_args(["--input", "i", "--output", "o"] + bad)

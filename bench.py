@@ -60,6 +60,7 @@ EXTRA_HEADLINE = [
     "html_block_scores",
     "repeated_substrings",
     "bpe_token_counts",
+    "ocr_media_captions",
 ]
 
 

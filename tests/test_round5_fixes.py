@@ -457,3 +457,33 @@ def test_mixture_rejects_null_sources_and_cli_ranges(spark, tmp_path):
                 ["--dsir-top-k", "0"]):
         with pytest.raises(SystemExit):
             parse_args(["--input", "i", "--output", "o"] + bad)
+
+
+def test_repeated_substrings_counts_verified_independently(spark, sf01_dir):
+    """Independent recount: every returned span must actually occur in
+    n_docs distinct normalized documents with n_occ total occurrences —
+    verified with plain Python string scanning (no Spark, no SQL)."""
+    import re
+
+    from page_evaluator_spark.queries import repeated_substrings as q
+
+    out = q(spark, sf01_dir).collect()
+    assert out
+    texts = {r["doc_id"]: re.sub(r"[ \t\n\x0B\f\r]+", " ", r["text"] or "")
+             .strip().lower()
+             for r in spark.read.parquet(f"{sf01_dir}/documents.parquet")
+             .collect()}
+
+    def occurrences(t, span):
+        n = start = 0
+        while True:
+            i = t.find(span, start)
+            if i < 0:
+                return n
+            n += 1
+            start = i + 1  # overlapping windows count, like the explode
+
+    for r in out[:25]:  # spot-verify the top rows
+        per_doc = [occurrences(t, r["span"]) for t in texts.values()]
+        assert sum(1 for c in per_doc if c) == r["n_docs"], r["span"]
+        assert sum(per_doc) == r["n_occ"], r["span"]

@@ -61,6 +61,7 @@ EXTRA_HEADLINE = [
     "repeated_substrings",
     "bpe_token_counts",
     "ocr_media_captions",
+    "corpus_report",
 ]
 
 

@@ -1815,6 +1815,99 @@ def curation_filter_audit(spark, sf_dir):
             .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
 
 
+def corpus_report(spark, sf_dir):
+    """Corpus datasheet (r5): the one-row summary a training-data pipeline
+    publishes with a release — sizes, source/language breadth, exact-dup
+    rate, fixed-point mean quality, and discrete token-count percentiles.
+
+    The percentiles are HISTOGRAM-based on purpose: a direct global sort (or
+    rank window) funnels the corpus through one partition, while
+    groupBy(n_tok) collapses to at most |distinct token counts| rows (a few
+    thousand at any corpus size) and the cumulative window runs over that
+    small table only.  Discrete definition (smallest value whose cumulative
+    count reaches ceil(p·n)) keeps both engines integer-exact — no
+    interpolation arithmetic to diverge."""
+    from .operators.dedup import normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    q_fx = F.floor(TS.quality_score(F.col("text")) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    base = d.select("doc_id", "source", "lang",
+                    n_tok.cast("long").alias("n_tok"), q_fx.alias("q_fx"),
+                    F.md5(normalized_text(F.col("text"))).alias("fp"))
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("fp")).alias("dup_docs"),
+        F.sum("q_fx").alias("_qfx"))
+    hist = base.groupBy("n_tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    pct = (cum.crossJoin(F.broadcast(totals.select("n_docs")))
+           .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n_docs"),
+                             F.col("n_tok"))).alias("p50_tokens"),
+                F.min(F.when(F.col("cum") * 10 >= F.col("n_docs") * 9,
+                             F.col("n_tok"))).alias("p90_tokens")))
+    return (totals.crossJoin(pct)
+            .select("n_docs", "total_tokens", "n_sources", "n_langs",
+                    "dup_docs",
+                    F.round(F.col("_qfx") / (F.col("n_docs") * F.lit(1e6)), 4)
+                    .alias("avg_quality"),
+                    "p50_tokens", "p90_tokens"))
+
+
+_CORPUS_REPORT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST(len(regexp_extract_all(text,
+              '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
+           AS n_tok,
+         CAST(floor(round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0
+                                 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+               + 0.3 * least(wtok / 20.0, 1.0)
+               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                     ELSE punct / CAST(nonspace AS DOUBLE) END)
+                                    * 4, 1.0)), 6) * 1000000.0 + 0.5) AS BIGINT)
+           AS q_fx,
+         md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+  FROM (SELECT doc_id, source, lang, text,
+               length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+               END AS wtok
+        FROM documents)
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+         CAST(sum(q_fx) AS BIGINT) AS qfx
+  FROM base
+), cum AS (
+  SELECT n_tok, sum(c) OVER (ORDER BY n_tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT n_tok, count(*) AS c FROM base GROUP BY n_tok)
+), pct AS (
+  SELECT CAST(min(CASE WHEN cum * 2 >= t.n_docs THEN n_tok END) AS BIGINT)
+           AS p50_tokens,
+         CAST(min(CASE WHEN cum * 10 >= t.n_docs * 9 THEN n_tok END) AS BIGINT)
+           AS p90_tokens
+  FROM cum CROSS JOIN totals t
+)
+SELECT t.n_docs, t.total_tokens, t.n_sources, t.n_langs, t.dup_docs,
+       round(t.qfx / (t.n_docs * 1000000.0), 4) AS avg_quality,
+       p.p50_tokens, p.p90_tokens
+FROM totals t CROSS JOIN pct p
+"""
+
+
 def doc_repetition_stats(spark, sf_dir):
     """Gopher/RefinedWeb-style repetition signals: duplicate-line fraction
     (per-row native array ops — zero shuffle) and top-bigram fraction (the
@@ -2906,6 +2999,7 @@ QUERIES: dict[str, Query] = {
     "html_block_scores": html_block_scores,
     "repeated_substrings": repeated_substrings,
     "bpe_token_counts": bpe_token_counts,
+    "corpus_report": corpus_report,
     # -- new / plan-changed r4 --
     "semantic_dedup": semantic_dedup,
     "doc_model_quality": doc_model_quality,
@@ -2946,7 +3040,6 @@ QUERIES: dict[str, Query] = {
     # -- text analysis / curation / dedup / similarity --
     "tfidf_top_terms": tfidf_top_terms,
     "doc_quality": doc_quality,
-    "doc_repetition_stats": doc_repetition_stats,
     "doc_lang_id": doc_lang_id,
     "lexicon_match_rate": lexicon_match_rate,
     "pack_token_budget": pack_token_budget,
@@ -2998,6 +3091,9 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "media_features": "r4",          # media family in window:
                                      # media_frame_sample + ocr_media_captions
                                      # (new)
+    "doc_repetition_stats": "r4",    # text-stats family in window:
+                                     # doc_quality, doc_lang_id + the new
+                                     # corpus_report rollup
     "anti_customers_no_orders": "r2",
     "window_order_gaps": "r2",
     "events_daily_stats": "r2",
@@ -3027,6 +3123,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "simhash_near_pairs": simhash_near_pairs,
     "doc_winnow_fp": doc_winnow_fp,
     "media_features": media_features,
+    "doc_repetition_stats": doc_repetition_stats,
     "events_hopping_window": events_hopping_window,
     "cube_events_dow": cube_events_dow,
     "media_resized": media_resized,
@@ -3090,6 +3187,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture_sample": _mixture_sql(),
         "html_block_scores": _html_blocks_sql(),
         "repeated_substrings": _repeated_spans_sql(),
+        "corpus_report": _CORPUS_REPORT_SQL,
         "bpe_token_counts": _bpe_encode_sql(),
         "dsir_importance_sample": _dsir_sql(),
         "tfidf_top_terms": _TFIDF_SQL,

@@ -60,7 +60,6 @@ EXTRA_HEADLINE = [
     "html_block_scores",
     "repeated_substrings",
     "bpe_token_counts",
-    "ocr_media_captions",
     "corpus_report",
 ]
 

@@ -1826,29 +1826,33 @@ def corpus_report(spark, sf_dir):
     thousand at any corpus size) and the cumulative window runs over that
     small table only.  Discrete definition (smallest value whose cumulative
     count reaches ceil(p·n)) keeps both engines integer-exact — no
-    interpolation arithmetic to diverge."""
-    from .operators.dedup import normalized_text
+    interpolation arithmetic to diverge.
 
+    NULL text coalesces to '' on BOTH sides before any derivation: without
+    it the NULL token-count bucket sorts FIRST in Spark's window but LAST in
+    DuckDB's, skewing the percentiles apart (code-review r5).  The
+    tokenization regex runs in the histogram subtree only; total_tokens and
+    the percentiles both derive from the value-count table."""
     d = load(spark, sf_dir, "documents")
-    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
-    q_fx = F.floor(TS.quality_score(F.col("text")) * F.lit(1e6) + F.lit(0.5)) \
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_tok = F.size(F.regexp_extract_all(text, F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    q_fx = F.floor(TS.quality_score(text) * F.lit(1e6) + F.lit(0.5)) \
         .cast("long")
-    base = d.select("doc_id", "source", "lang",
-                    n_tok.cast("long").alias("n_tok"), q_fx.alias("q_fx"),
-                    F.md5(normalized_text(F.col("text"))).alias("fp"))
-    totals = base.agg(
+    totals = d.select("source", "lang", q_fx.alias("q_fx"),
+                      TS.fingerprint(text).alias("fp")).agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         (F.count("*") - F.countDistinct("fp")).alias("dup_docs"),
         F.sum("q_fx").alias("_qfx"))
-    hist = base.groupBy("n_tok").agg(F.count("*").alias("c"))
+    hist = (d.select(n_tok.cast("long").alias("n_tok"))
+            .groupBy("n_tok").agg(F.count("*").alias("c")))
     w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding,
                                             Window.currentRow)
     cum = hist.withColumn("cum", F.sum("c").over(w))
     pct = (cum.crossJoin(F.broadcast(totals.select("n_docs")))
-           .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n_docs"),
+           .agg(F.sum(F.col("n_tok") * F.col("c")).alias("total_tokens"),
+                F.min(F.when(F.col("cum") * 2 >= F.col("n_docs"),
                              F.col("n_tok"))).alias("p50_tokens"),
                 F.min(F.when(F.col("cum") * 10 >= F.col("n_docs") * 9,
                              F.col("n_tok"))).alias("p90_tokens")))
@@ -1862,10 +1866,7 @@ def corpus_report(spark, sf_dir):
 
 _CORPUS_REPORT_SQL = r"""
 WITH base AS (
-  SELECT doc_id, source, lang,
-         CAST(len(regexp_extract_all(text,
-              '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
-           AS n_tok,
+  SELECT source, lang,
          CAST(floor(round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0
                                  ELSE alpha / CAST(nonspace AS DOUBLE) END)
                + 0.3 * least(wtok / 20.0, 1.0)
@@ -1873,35 +1874,39 @@ WITH base AS (
                                      ELSE punct / CAST(nonspace AS DOUBLE) END)
                                     * 4, 1.0)), 6) * 1000000.0 + 0.5) AS BIGINT)
            AS q_fx,
-         md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
-  FROM (SELECT doc_id, source, lang, text,
-               length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
-               length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
-               length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
-               CASE WHEN length(trim(text)) = 0 THEN 0
+         md5(lower(trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+  FROM (SELECT source, lang, coalesce(text, '') AS t,
+               length(regexp_replace(coalesce(text, ''), '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
+               length(regexp_replace(coalesce(text, ''), '[^\p{L}]', '', 'g')) AS alpha,
+               length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
                     ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
                END AS wtok
         FROM documents)
 ), totals AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
          CAST(sum(q_fx) AS BIGINT) AS qfx
   FROM base
 ), cum AS (
-  SELECT n_tok, sum(c) OVER (ORDER BY n_tok
+  SELECT n_tok, c, sum(c) OVER (ORDER BY n_tok
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM (SELECT n_tok, count(*) AS c FROM base GROUP BY n_tok)
+  FROM (SELECT CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
+                 AS n_tok,
+               count(*) AS c
+        FROM documents GROUP BY 1)
 ), pct AS (
-  SELECT CAST(min(CASE WHEN cum * 2 >= t.n_docs THEN n_tok END) AS BIGINT)
+  SELECT CAST(sum(n_tok * c) AS BIGINT) AS total_tokens,
+         CAST(min(CASE WHEN cum * 2 >= t.n_docs THEN n_tok END) AS BIGINT)
            AS p50_tokens,
          CAST(min(CASE WHEN cum * 10 >= t.n_docs * 9 THEN n_tok END) AS BIGINT)
            AS p90_tokens
   FROM cum CROSS JOIN totals t
 )
-SELECT t.n_docs, t.total_tokens, t.n_sources, t.n_langs, t.dup_docs,
+SELECT t.n_docs, p.total_tokens, t.n_sources, t.n_langs, t.dup_docs,
        round(t.qfx / (t.n_docs * 1000000.0), 4) AS avg_quality,
        p.p50_tokens, p.p90_tokens
 FROM totals t CROSS JOIN pct p

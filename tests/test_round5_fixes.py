@@ -5,6 +5,7 @@ dtype-parity canonicalizer itself."""
 from __future__ import annotations
 
 import random
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -487,3 +488,32 @@ def test_repeated_substrings_counts_verified_independently(spark, sf01_dir):
         per_doc = [occurrences(t, r["span"]) for t in texts.values()]
         assert sum(1 for c in per_doc if c) == r["n_docs"], r["span"]
         assert sum(per_doc) == r["n_occ"], r["span"]
+
+
+def test_corpus_report_null_text_parity(spark):
+    """code-review r5: NULL text must coalesce identically on both sides —
+    Spark windows sort a NULL bucket first, DuckDB last, which skewed the
+    percentiles apart before the coalesce."""
+    import duckdb
+
+    from page_evaluator_spark.queries import _CORPUS_REPORT_SQL, corpus_report
+
+    rows = [(i, f"alpha beta gamma delta {'x ' * i}", "en", "s1", 0)
+            for i in range(8)]
+    rows += [(100, None, "en", "s2", 0), (101, None, "de", "s2", 0)]
+    import tempfile
+
+    d = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string,"
+              " n_chars: long")
+    path = tempfile.mkdtemp(prefix="rep_") + "/documents.parquet"
+    d.write.parquet(path)
+    sp = corpus_report(spark, str(Path(path).parent)).toPandas()
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    op = con.sql(_CORPUS_REPORT_SQL).df()[list(sp.columns)]
+    assert sp.astype("float64").round(6).equals(op.astype("float64").round(6)), \
+        (sp.to_string(), op.to_string())
+    # the two NULL-text docs share the empty fingerprint -> one dup
+    assert int(sp["dup_docs"][0]) == 1

@@ -422,6 +422,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (r5): view → click → purchase in strict
+    temporal order per user (each step's earliest event at-or-after the
+    previous step's time), with per-step user counts and conversion vs the
+    first step.  Scale shape: one filtered agg per step plus a users-sized
+    join — no per-user window or sort over the full event stream."""
+    ev = load(spark, sf_dir, "events")
+
+    def step(name, prev=None):
+        e = ev.where(F.col("event_type") == name)
+        if prev is not None:
+            e = (e.join(prev, "user_id")
+                 .where(F.col("ts") >= F.col("t_prev")))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    p1 = step("view")
+    p2 = step("click", p1)
+    p3 = step("purchase", p2)
+    counts = [p.agg(F.count("*").alias("users")) for p in (p1, p2, p3)]
+    rows = None
+    for i, (name, c) in enumerate(zip(("view", "click", "purchase"), counts)):
+        r = c.select(F.lit(i + 1).alias("step"), F.lit(name).alias("name"),
+                     F.col("users"))
+        rows = r if rows is None else rows.unionByName(r)
+    first = counts[0].select(F.col("users").alias("u1"))
+    return (rows.crossJoin(F.broadcast(first))
+            .select("step", "name", "users",
+                    F.when(F.col("u1") > 0,
+                           F.round(F.col("users") / F.col("u1"), 4))
+                    .alias("conv_pct"))
+            .orderBy("step"))
+
+
+_FUNNEL_SQL = """
+WITH p1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), p2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN p1 ON e.user_id = p1.user_id AND e.ts >= p1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN p2 ON e.user_id = p2.user_id AND e.ts >= p2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), steps AS (
+  SELECT 1 AS step, 'view' AS name, CAST(count(*) AS BIGINT) AS users FROM p1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM p2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p3
+), f AS (SELECT users AS u1 FROM steps WHERE step = 1)
+SELECT CAST(step AS INT) AS step, name, users,
+       CASE WHEN u1 > 0 THEN round(users / (u1 * 1.0), 4) END AS conv_pct
+FROM steps CROSS JOIN f ORDER BY step
+"""
+
+
 def events_asof_last_signup(spark, sf_dir):
     """As-of join expressed as an ignore-nulls last() window: for every
     purchase, the user's most recent signup at-or-before it."""
@@ -3080,6 +3138,8 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # still in window
     "knn_label_accuracy_ivfpq": "new r5 (pytest-attested; window candidate "
                                 "next rotation)",
+    "events_funnel": "new r5 (pytest-attested; window candidate next "
+                     "rotation)",
     "q5_region_revenue": "r4",       # join-agg family in window: q1/q3/
                                      # broadcast_part_revenue
     "stratified_sample": "r4",       # md5-threshold sampling family in
@@ -3122,6 +3182,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "lsh_ann_topk": lsh_ann_topk,
     "semi_suppliers_active": semi_suppliers_active,
     "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,
+    "events_funnel": events_funnel,
     "q5_region_revenue": q5_region_revenue,
     "stratified_sample": stratified_sample,
     "html_main_content": html_main_content,
@@ -3213,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_dangling": _pagerank_sql(redistribute=True),
         "curation_source_prior": _source_prior_sql(),
         "knn_label_accuracy_ivfpq": _knn_ivfpq_sql(),
+        "events_funnel": _FUNNEL_SQL,
         "source_quality_rollup": _SOURCE_ROLLUP_SQL,
         "knn_label_accuracy": _KNN_SQL.format(cos=_cosine_sql("h.qv", "c.vec")),
         "pq_ann_topk": _pq_ann_sql(),

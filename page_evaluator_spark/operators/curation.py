@@ -445,6 +445,17 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
     grand = sum(t for _, t in totals)
     if grand == 0:
         return [(s, 0, 0) for s, _ in totals]
+    # ADVICE r5: the bit-identical-to-DuckDB claim needs t/grand (one
+    # correctly-rounded big-int division) to equal the twin's
+    # double(t)/double(grand) (two conversions then a divide) — true only
+    # while every operand is exactly representable.  Same invariant class
+    # as ivf_kmeans_centroids: fail loudly, don't drift in the last bit.
+    if grand >= 1 << 53:
+        raise ValueError(
+            f"source_mixture_targets: corpus token total {grand} exceeds "
+            f"2^53 — the Python t/grand share and the DuckDB "
+            f"double-cast division are no longer guaranteed bit-identical; "
+            f"compute targets with a fixed-point rational share instead")
     budget = grand * budget_pct // 100
     weights = []
     for s, t in totals:

@@ -2695,6 +2695,21 @@ def ocr_quarantine(spark, sf_dir):
     return evaluate_documents(_corpus_df(spark)).quarantine.orderBy("doc_id", "span_ord")
 
 
+# The synthetic HTML wrapper shared by html_main_content / html_block_scores
+# AND both DuckDB twins.  Defined ONCE (ADVICE r5): the SQL literals are
+# derived from these via _sqlq quote-escaping, so the Spark query and its
+# twin cannot drift apart silently.
+_HTML_NAV = "<html><body><div><a href='/'>Home</a> <a href='/a'>About</a></div>"
+_HTML_SCRIPT = "<script>var boiler = 1;</script>"
+_HTML_MID = "</p><p>"
+_HTML_FOOT = "</p><div><a href='/t'>Terms</a></div></body></html>"
+
+
+def _sqlq(s: str) -> str:
+    """Escape a Python string for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
 def html_main_content(spark, sf_dir):
     """HTML boilerplate strip (native expression twin): wrap each document in
     markup with link-dense nav/footer boilerplate, extract main content, and
@@ -2705,10 +2720,9 @@ def html_main_content(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     html = F.concat(
-        F.lit("<html><body><div><a href='/'>Home</a> <a href='/a'>About</a></div>"
-              "<script>var boiler = 1;</script><p>"),
+        F.lit(_HTML_NAV + _HTML_SCRIPT + "<p>"),
         F.col("text"),
-        F.lit("</p><div><a href='/t'>Terms</a></div></body></html>"))
+        F.lit(_HTML_FOOT))
     main = extract_main_text_expr(html)
     return d.select(
         "doc_id",
@@ -2730,9 +2744,8 @@ def _html_main_sql() -> str:
     """
     from .functions.html import _ENTITIES
 
-    pre = ("<html><body><div><a href=''/''>Home</a> <a href=''/a''>About</a></div>"
-           "<script>var boiler = 1;</script><p>")
-    post = "</p><div><a href=''/t''>Terms</a></div></body></html>"
+    pre = _sqlq(_HTML_NAV + _HTML_SCRIPT + "<p>")
+    post = _sqlq(_HTML_FOOT)
     drop = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
     sep = (r"(?i)<br\s*/?>|</(?:p|div|li|h1|h2|h3|h4|h5|h6|tr|td|section|article|header|"
            r"footer|blockquote|table|ul|ol)\s*>")
@@ -2788,10 +2801,9 @@ def html_block_scores(spark, sf_dir):
     half1 = F.expr("substring(text, 1, length(text) div 2)")
     half2 = F.expr("substring(text, length(text) div 2 + 1)")
     html = F.concat(
-        F.lit("<html><body><div><a href='/'>Home</a> <a href='/a'>About</a>"
-              "</div><p>"),
-        half1, F.lit("</p><p>"), half2,
-        F.lit("</p><div><a href='/t'>Terms</a></div></body></html>"))
+        F.lit(_HTML_NAV + "<p>"),
+        half1, F.lit(_HTML_MID), half2,
+        F.lit(_HTML_FOOT))
     diag = F.posexplode(block_diagnostics_expr(html))
     t = F.col("d.text_len").cast("double")
     li = F.col("d.link_len").cast("double")
@@ -2813,10 +2825,9 @@ def _html_blocks_sql() -> str:
     twin cannot drift (code-review r5)."""
     from .functions.html import _ENTITIES, MAX_LINK_DENSITY, MIN_BLOCK_CHARS
 
-    pre = ("<html><body><div><a href=''/''>Home</a> <a href=''/a''>About</a></div>"
-           "<p>")
-    mid = "</p><p>"
-    post = "</p><div><a href=''/t''>Terms</a></div></body></html>"
+    pre = _sqlq(_HTML_NAV + "<p>")
+    mid = _HTML_MID
+    post = _sqlq(_HTML_FOOT)
     drop = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
     sep = (r"(?i)<br\s*/?>|</(?:p|div|li|h1|h2|h3|h4|h5|h6|tr|td|section|article|header|"
            r"footer|blockquote|table|ul|ol)\s*>")

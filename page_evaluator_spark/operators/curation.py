@@ -423,11 +423,7 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
     by name; left-assoc B*w/W) so the Python values are bit-identical to the
     DuckDB twin's list_reduce fold.  Only α ∈ {1/2, 1} keeps the power exact
     (sqrt is correctly rounded; pow() is not) — guarded."""
-    import math
-
-    if (alpha_num, alpha_den) not in ((1, 2), (1, 1)):
-        raise ValueError("alpha must be 1/2 or 1: x**0.5 (sqrt) and x**1 are "
-                         "the correctly-rounded powers both engines agree on")
+    _mixture_alpha_guard(alpha_num, alpha_den)
     n_tok = F.size(F.regexp_extract_all(F.col(text_col),
                                         F.lit(PORTABLE_TOKEN_RE), 0))
     rows = (docs.groupBy(F.col(source_col).alias("source"))
@@ -435,13 +431,31 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
                  .alias("toks"))
             .collect())
     # fail loudly on NULL sources (code-review r5): they cannot take part in
-    # per-source quotas (the inner join in _mixture_cum would silently drop
+    # per-source quotas (the shard-class inner join would silently drop
     # them) and a None key breaks the deterministic sorted fold below
     if any(r["source"] is None for r in rows):
         raise ValueError(
             f"source_mixture_targets: NULL values in '{source_col}' — assign "
             f"an explicit bucket (e.g. 'unknown') before mixture sampling")
-    totals = sorted((r["source"], int(r["toks"])) for r in rows)
+    return _targets_from_totals(sorted((r["source"], int(r["toks"]))
+                                       for r in rows),
+                                alpha_den, budget_pct)
+
+
+def _mixture_alpha_guard(alpha_num: int, alpha_den: int) -> None:
+    if (alpha_num, alpha_den) not in ((1, 2), (1, 1)):
+        raise ValueError("alpha must be 1/2 or 1: x**0.5 (sqrt) and x**1 are "
+                         "the correctly-rounded powers both engines agree on")
+
+
+def _targets_from_totals(totals: list[tuple[str, int]], alpha_den: int,
+                         budget_pct: int) -> list[tuple[str, int, int]]:
+    """The pure-Python quota math behind source_mixture_targets, shared with
+    the sharded selection path (which derives per-source totals from the
+    same collect that classifies shards).  `totals` must be sorted by
+    source — the float fold order IS the cross-engine contract."""
+    import math
+
     grand = sum(t for _, t in totals)
     if grand == 0:
         return [(s, 0, 0) for s, _ in totals]
@@ -468,30 +482,116 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
             for (s, t), w in zip(totals, weights)]
 
 
-def _mixture_cum(docs: DataFrame, alpha_num: int, alpha_den: int,
-                 budget_pct: int, text_col: str, source_col: str,
-                 id_col: str) -> DataFrame:
-    """Per-doc cumulative-token frame behind both mixture surfaces:
-    (doc_id, source, n_tok, cum, total_tokens, target_tokens)."""
-    from pyspark.sql import Window
-
+def _mixture_base(docs: DataFrame, text_col: str, source_col: str,
+                  id_col: str) -> DataFrame:
+    """(doc_id, source, n_tok, shuf, shard, doc_key) — the narrow per-doc
+    frame every mixture pass projects.  shard = first two hex chars of the
+    md5 shuffle key: a CONTIGUOUS md5-range slice of the per-source
+    (shuf, doc_id) order (lowercase hex strings sort like their numeric
+    value), so per-shard token totals prefix-sum to exactly the global
+    per-source running total."""
     from .skew import ensure_min_parallelism
 
-    targets = source_mixture_targets(docs, alpha_num, alpha_den, budget_pct,
-                                     text_col, source_col)
-    spark = docs.sparkSession
-    tgt = F.broadcast(spark.createDataFrame(
-        targets, "source: string, total_tokens: long, target_tokens: long"))
     n_tok = F.size(F.regexp_extract_all(F.col(text_col),
                                         F.lit(PORTABLE_TOKEN_RE), 0))
-    base = (ensure_min_parallelism(docs)
+    return (ensure_min_parallelism(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(source_col).alias("source"),
                     n_tok.cast("long").alias("n_tok"),
-                    F.md5(F.col(id_col).cast("string")).alias("shuf")))
-    w = (Window.partitionBy("source").orderBy("shuf", "doc_id")
+                    F.md5(F.col(id_col).cast("string")).alias("shuf"))
+            .withColumn("shard", F.conv(F.substring("shuf", 1, 2), 16, 10)
+                        .cast("int"))
+            .withColumn("doc_key", F.conv(F.substring("shuf", 1, 12), 16, 10)
+                        .cast("long")))
+
+
+def _mixture_selection(docs: DataFrame, alpha_num: int, alpha_den: int,
+                       budget_pct: int, text_col: str, source_col: str,
+                       id_col: str):
+    """Two-phase SHARDED mixture selection (VERDICT r5 #1 — the r4 form
+    funnelled each source's whole corpus slice through ONE cumulative-sum
+    window task; a dominant source serialized the job).
+
+    Phase 1 — one map-side-combined agg over the corpus, collected at
+    dimension size (≤ |sources| × 256 rows, the same collect class as the
+    IVF centroid seeds): per-(source, md5-shard) token totals, doc counts
+    and 48-bit-key xors.  Driver-side, shards are prefix-summed IN SHARD
+    ORDER (= the global per-source order, since shards are contiguous
+    md5 ranges) and classified: `keep` (whole shard fits under the quota),
+    `drop` (the quota was already exhausted before the shard), `boundary`
+    (the quota lands inside it — at most ONE per source).
+
+    Phase 2 — the per-doc windowed scan runs ONLY inside boundary shards,
+    partitioned by (source, shard): ~1/256 of the dominant source per task
+    instead of all of it.  Keep-all shard contributions come straight from
+    the phase-1 stats.  The keep set is IDENTICAL to the single-window
+    form (pinned by tests/test_round6_fixes.py).
+
+    Returns (sel, keepall_rows): `sel` = the per-doc base inner-joined to
+    the broadcast shard-class table; `keepall_rows` = per-source Python
+    rows (source, total_tokens, target_tokens, kept_docs, kept_tokens,
+    keep_check) aggregated over the keep-all shards (every source present,
+    zeros when none)."""
+    _mixture_alpha_guard(alpha_num, alpha_den)
+    stats = (_mixture_base(docs, text_col, source_col, id_col)
+             .groupBy("source", "shard")
+             .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).alias("toks"),
+                  F.count("*").alias("n_docs"),
+                  F.coalesce(F.expr("bit_xor(doc_key)"), F.lit(0))
+                  .alias("key_xor"))
+             .collect())
+    if any(r["source"] is None for r in stats):
+        raise ValueError(
+            f"domain_mixture: NULL values in '{source_col}' — assign an "
+            f"explicit bucket (e.g. 'unknown') before mixture sampling")
+    stats = sorted((r["source"], int(r["shard"]), int(r["toks"]),
+                    int(r["n_docs"]), int(r["key_xor"])) for r in stats)
+    totals: dict[str, int] = {}
+    for s, _, t, _, _ in stats:
+        totals[s] = totals.get(s, 0) + t
+    targets = _targets_from_totals(sorted(totals.items()), alpha_den,
+                                   budget_pct)
+    tgt = {s: (tot, quota) for s, tot, quota in targets}
+    cls_rows = []
+    keepall = {s: [0, 0, 0] for s in tgt}
+    off: dict[str, int] = {}
+    for s, sh, t, n, x in stats:
+        o = off.get(s, 0)
+        quota = tgt[s][1]
+        if o + t <= quota:
+            cls = "keep"
+            ka = keepall[s]
+            ka[0] += n
+            ka[1] += t
+            ka[2] ^= x
+        elif o > quota:
+            cls = "drop"
+        else:
+            cls = "boundary"
+        cls_rows.append((s, sh, cls, o, quota))
+        off[s] = o + t
+    spark = docs.sparkSession
+    cls_df = F.broadcast(spark.createDataFrame(
+        cls_rows, "source: string, shard: int, cls: string, "
+                  "shard_off: long, target_tokens: long"))
+    sel = (_mixture_base(docs, text_col, source_col, id_col)
+           .join(cls_df, ["source", "shard"]))
+    keepall_rows = [(s, tgt[s][0], tgt[s][1], ka[0], ka[1], ka[2])
+                    for s, ka in sorted(keepall.items())]
+    return sel, keepall_rows
+
+
+def _boundary_cum(sel: DataFrame) -> DataFrame:
+    """Per-doc running token totals inside boundary shards only: the window
+    partitions by (source, shard) — never by source alone — and the global
+    cum is shard_off + the within-shard prefix sum (exact because shards
+    are contiguous slices of the (shuf, doc_id) order)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("source", "shard").orderBy("shuf", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return base.withColumn("cum", F.sum("n_tok").over(w)).join(tgt, "source")
+    return (sel.where(F.col("cls") == "boundary")
+            .withColumn("cum", F.col("shard_off") + F.sum("n_tok").over(w)))
 
 
 def domain_mixture_keep(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
@@ -500,10 +600,19 @@ def domain_mixture_keep(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
                         ) -> DataFrame:
     """The kept doc ids of the mixture resample — the form a curation STAGE
     consumes (semi/anti joins against the corpus); domain_mixture_sample
-    aggregates the same frame into the per-source audit rollup."""
-    cum = _mixture_cum(docs, alpha_num, alpha_den, budget_pct, text_col,
-                       source_col, id_col)
-    return cum.where(F.col("cum") <= F.col("target_tokens")).select("doc_id")
+    aggregates the same selection into the per-source audit rollup.
+
+    Cost shape: three narrow corpus scans (phase-1 stats, the keep-all
+    filter, the boundary filter) and zero corpus-wide sorts — at 100 TB a
+    streamed re-scan of a ~50-byte projection beats re-shuffling and
+    sorting every dominant-source row through one window task."""
+    sel, _ = _mixture_selection(docs, alpha_num, alpha_den, budget_pct,
+                                text_col, source_col, id_col)
+    keep_all = sel.where(F.col("cls") == "keep").select("doc_id")
+    bnd = (_boundary_cum(sel)
+           .where(F.col("cum") <= F.col("target_tokens"))
+           .select("doc_id"))
+    return keep_all.unionByName(bnd)
 
 
 def domain_mixture_sample(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 2,
@@ -523,24 +632,41 @@ def domain_mixture_sample(docs: DataFrame, alpha_num: int = 1, alpha_den: int = 
     identically (a DECIMAL(38,0) sum survives the engines but not pandas:
     DuckDB's .df() narrows it to float64).
 
-    Scale shape: one map-side-combined agg for the totals (|sources| rows
-    collected), one windowed prefix-sum per source partition (the same
-    sharded-prefix-sum idiom as pack_token_budget), one final |sources|-row
-    agg.  Skewed sources are bounded by their quota, not their size."""
-    doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
-                     16, 10).cast("long")
+    Scale shape (VERDICT r5 #1): the two-phase sharded selection of
+    _mixture_selection — keep-all shard contributions come from the
+    dimension-sized phase-1 stats; only the single boundary shard per
+    source (~1/256 of it) is windowed, partitioned by (source, shard).
+    No task ever scans a whole source."""
+    sel, keepall_rows = _mixture_selection(docs, alpha_num, alpha_den,
+                                           budget_pct, text_col, source_col,
+                                           id_col)
+    spark = docs.sparkSession
+    schema = ("source: string, total_tokens: long, target_tokens: long, "
+              "kept_docs: long, kept_tokens: long, keep_check: long")
+    ka = spark.createDataFrame(keepall_rows, schema)
     kept = F.col("cum") <= F.col("target_tokens")
-    cum = (_mixture_cum(docs, alpha_num, alpha_den, budget_pct, text_col,
-                        source_col, id_col)
-           .withColumn("kept_key", F.when(kept, doc_key)))
-    return (cum.groupBy("source")
-            .agg(F.first("total_tokens").alias("total_tokens"),
-                 F.first("target_tokens").alias("target_tokens"),
-                 F.sum(kept.cast("long")).alias("kept_docs"),
-                 F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
-                 .cast("long").alias("kept_tokens"),
-                 F.coalesce(F.expr("bit_xor(kept_key)"), F.lit(0))
-                 .cast("long").alias("keep_check"))
+    bnd = (_boundary_cum(sel)
+           .withColumn("kept_key", F.when(kept, F.col("doc_key")))
+           .groupBy("source")
+           .agg(F.sum(kept.cast("long")).alias("kept_docs"),
+                F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+                .cast("long").alias("kept_tokens"),
+                F.coalesce(F.expr("bit_xor(kept_key)"), F.lit(0))
+                .cast("long").alias("keep_check"))
+           .select("source",
+                   F.lit(0).cast("long").alias("total_tokens"),
+                   F.lit(0).cast("long").alias("target_tokens"),
+                   "kept_docs", "kept_tokens", "keep_check"))
+    # combine: ka carries every source (with the real total/target), the
+    # boundary partial carries at most one row per source — max/sum/xor
+    # fold the two.
+    return (ka.unionByName(bnd).groupBy("source")
+            .agg(F.max("total_tokens").alias("total_tokens"),
+                 F.max("target_tokens").alias("target_tokens"),
+                 F.sum("kept_docs").cast("long").alias("kept_docs"),
+                 F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+                 F.expr("bit_xor(keep_check)").cast("long")
+                 .alias("keep_check"))
             .orderBy("source"))
 
 

@@ -14,6 +14,11 @@ already exposes (and that the driver harness hash-verifies individually):
                 drops docs above the tail NLL cutoff AND token-less docs;
                 cutoff from --lm-tail or, when omitted, calibrated on the
                 input at the 2/3 NLL quantile; OPT-IN
+  exact_substring cross-document exact-substring removal (Lee et al. 2021,
+                dedup.exact_substring_clean): duplicated windows merge into
+                maximal spans and are CUT from the text (normalized form),
+                keeping one canonical occurrence corpus-wide; rewrites text,
+                drops nothing; OPT-IN
   decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
   cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
   pack          token-budget sequence packing (curation.pack_token_budget)
@@ -44,12 +49,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# canonical stage order; model_filter/lm_filter/mixture/dsir are opt-in
-# (mixture needs a `source` column; dsir imposes a hard global doc count)
+# canonical stage order; model_filter/lm_filter/exact_substring/mixture/dsir
+# are opt-in (mixture needs a `source` column; dsir imposes a hard global doc
+# count; exact_substring rewrites text to its normalized form).
+# exact_substring runs BEFORE decontaminate/cluster so the gram scan and the
+# near-dup signatures see the final text.
 ALL_STAGES = ["strip", "filter", "model_filter", "lm_filter",
-              "decontaminate", "cluster", "mixture", "dsir", "pack"]
+              "exact_substring", "decontaminate", "cluster", "mixture",
+              "dsir", "pack"]
 DEFAULT_STAGES = [s for s in ALL_STAGES
-                  if s not in ("model_filter", "lm_filter", "mixture", "dsir")]
+                  if s not in ("model_filter", "lm_filter", "exact_substring",
+                               "mixture", "dsir")]
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -69,6 +79,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--lm-tail", type=float, default=None,
                    help="lm_filter drops docs with NLL >= this (default: "
                         "calibrated at the input's 2/3 NLL quantile)")
+    p.add_argument("--substring-width", type=int, default=24,
+                   help="exact_substring stage: duplicated-window width in "
+                        "chars (>= 8 — shorter windows flag common phrases, "
+                        "not duplicated passages)")
     p.add_argument("--langs", default="en,de,fr,es")
     p.add_argument("--boiler-min-docs", type=int, default=3)
     p.add_argument("--budget", type=int, default=512)
@@ -100,6 +114,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--mixture-budget-pct must be in [1, 100]")
     if args.dsir_top_k < 1:
         p.error("--dsir-top-k must be >= 1")
+    if args.substring_width < 8:
+        p.error("--substring-width must be >= 8 (the removal cuts every "
+                "window duplicated across docs — tiny widths would shred "
+                "ordinary prose)")
     if "decontaminate" in stages and not args.benchmark:
         if explicit:
             # an explicitly requested stage must never silently no-op —
@@ -241,6 +259,26 @@ def run(spark, args) -> dict[str, int]:
         bad = tail_docs.unionByName(empty_docs)
         mark(bad, "lm_filter")
         docs = checkpoint_stage(docs.join(bad, "doc_id", "left_anti"))
+
+    if "exact_substring" in args.stage_list:
+        # cross-document exact-substring removal: REWRITES text (to its
+        # normalized, de-duplicated form), drops no docs — audited via
+        # counters, not the drop ledger
+        from page_evaluator_spark.operators.dedup import exact_substring_clean
+
+        cleaned = checkpoint_stage(
+            docs.join(exact_substring_clean(
+                          docs, width=args.substring_width)
+                      .select("doc_id", "text_clean", "n_spans_removed",
+                              "chars_removed"),
+                      "doc_id")
+            .drop("text").withColumnRenamed("text_clean", "text"))
+        row = cleaned.agg(
+            F.sum((F.col("n_spans_removed") > 0).cast("long")).alias("d"),
+            F.sum("chars_removed").alias("c")).collect()[0]
+        counts["substring_cleaned_docs"] = int(row["d"] or 0)
+        counts["substring_removed_chars"] = int(row["c"] or 0)
+        docs = cleaned.drop("n_spans_removed", "chars_removed")
 
     if "decontaminate" in args.stage_list:
         bench = catalog.read(args.benchmark)

@@ -417,6 +417,92 @@ def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
             .limit(top_k))
 
 
+def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
+                          text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos): 1-based positions (in the NORMALIZED text) of width-char
+    windows occurring in >= min_docs distinct documents, MINUS the single
+    canonical occurrence per window — min (doc_id, pos) keeps its copy, every
+    other occurrence is marked for removal (Lee et al. 2021 semantics:
+    duplicated spans survive exactly once in the corpus).
+
+    Scale shape: the counting agg and the position join are keyed by
+    xxhash64 of the window — the corpus-wide shuffles carry
+    (8-byte hash, doc_id, int pos) rows, never text (the item-3 doctrine)."""
+    t = normalized_text(F.col(text_col))
+    staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+              .repartition("doc_id"))  # materialize the normalization once
+    n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
+    wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                       lambda i: F.xxhash64(F.substring(F.col("t"), i, width)))
+    occ = (staged.where(n_wins > 0)
+           .select("doc_id", F.posexplode(wins).alias("p0", "h"))
+           .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "h"))
+    dup = (occ.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "pos")).alias("canon"))
+           .where(F.col("n_docs") >= min_docs)
+           .select("h", "canon"))
+    return (occ.join(dup, "h")
+            .where(~((F.col("doc_id") == F.col("canon.doc_id"))
+                     & (F.col("pos") == F.col("canon.pos"))))
+            .select("doc_id", "pos"))
+
+
+def exact_substring_clean(docs: DataFrame, width: int = 24, min_docs: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """EXACT-SUBSTRING dedup, completed (VERDICT r5 #5; Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    repeated-window candidates are extended to MAXIMAL duplicated spans —
+    per doc, overlapping/adjacent flagged windows [pos, pos+width) merge
+    into intervals — and a removal pass cuts those intervals out of the
+    text, keeping the canonical first occurrence corpus-wide.
+
+    The rule operates on the NORMALIZED text (whitespace-collapsed,
+    lowercased — the same canonical byte form the paper's suffix-array
+    pipeline fixes before matching); normalization is part of the frozen
+    contract, so untouched docs also come back normalized.
+
+    Returns EVERY input doc: (doc_id, text_clean, n_spans_removed,
+    chars_removed).  All interval math is pure Catalyst expressions over
+    the per-doc sorted position array (positions are bounded by doc
+    length, so the array is no bigger than the text it describes):
+    consecutive positions p, q with q - p > width start a new interval;
+    union length = width + Σ least(q - p, width); the kept text is the
+    head before the first removal, the between-interval gaps, and the
+    tail — cursor after each window is monotone (pos sorted), so every
+    kept gap is substring(t, p + width, max(q - p - width, 0))."""
+    rm = _dup_window_positions(docs, width, min_docs, text_col, id_col)
+    ps_df = (rm.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    t = normalized_text(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+    j = base.join(ps_df, "doc_id", "left")
+    w = int(width)
+    expr_n = (
+        "CASE WHEN ps IS NULL THEN 0 ELSE 1 + IF(size(ps) > 1, "
+        "aggregate(sequence(2, size(ps)), 0, (a, i) -> "
+        f"a + IF(element_at(ps, i) - element_at(ps, i - 1) > {w}, 1, 0)), 0) "
+        "END")
+    expr_chars = (
+        f"CASE WHEN ps IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST({w} AS BIGINT) + IF(size(ps) > 1, "
+        f"aggregate(sequence(2, size(ps)), CAST(0 AS BIGINT), (a, i) -> "
+        f"a + CAST(least(element_at(ps, i) - element_at(ps, i - 1), {w}) "
+        f"AS BIGINT)), CAST(0 AS BIGINT)) END")
+    expr_clean = (
+        "CASE WHEN ps IS NULL THEN t ELSE concat("
+        "substring(t, 1, element_at(ps, 1) - 1), "
+        "IF(size(ps) > 1, concat_ws('', transform(sequence(2, size(ps)), "
+        f"i -> substring(t, element_at(ps, i - 1) + {w}, "
+        f"greatest(element_at(ps, i) - element_at(ps, i - 1) - {w}, 0)))), "
+        f"''), substring(t, element_at(ps, -1) + {w})) END")
+    return j.select("doc_id",
+                    F.expr(expr_clean).alias("text_clean"),
+                    F.expr(expr_n).cast("int").alias("n_spans_removed"),
+                    F.expr(expr_chars).alias("chars_removed"))
+
+
 def minhash_band_keys_expr(text: Column, shingle_n: int = 3,
                            num_hashes: int = 16, bands: int = 4) -> Column:
     """Per-row MinHash band keys — NO aggregation, so a STREAMING source can

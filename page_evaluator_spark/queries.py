@@ -1145,6 +1145,87 @@ ORDER BY n_docs DESC, n_occ DESC, span LIMIT {top_k}
 """
 
 
+def exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup COMPLETED (r6, VERDICT r5 #5): duplicated
+    24-char windows merge into maximal per-doc intervals and are cut from
+    the normalized text, keeping one canonical occurrence corpus-wide.
+    Audit rollup per affected doc: interval count, removed chars, and the
+    md5 of the cleaned text (the strongest per-row probe — any divergence
+    in span extents or the cut arithmetic flips the hash)."""
+    from .operators.dedup import exact_substring_clean
+
+    out = exact_substring_clean(load(spark, sf_dir, "documents"), width=24)
+    return (out.where(F.col("n_spans_removed") > 0)
+            .select("doc_id", "n_spans_removed", "chars_removed",
+                    F.length("text_clean").cast("long").alias("cleaned_len"),
+                    F.md5("text_clean").alias("cleaned_md5"))
+            .orderBy("doc_id").limit(200))
+
+
+def _exact_substring_sql(width: int = 24, min_docs: int = 2,
+                         limit: int = 200) -> str:
+    """Twin of exact_substring_dedup: same window fan-out as
+    _repeated_spans_sql, grouped by the SUBSTRING ITSELF (the Spark side
+    groups by xxhash64 — the twin's text grouping is the collision check);
+    canonical = min (doc_id, pos) per span in two grouping steps (DuckDB
+    min() does not order structs); interval merge via lag() — consecutive
+    removed positions p, q start a new interval when q - p > width, and
+    the kept text is head + per-gap substrings + tail re-assembled with an
+    ordered string_agg."""
+    w = int(width)
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t
+  FROM documents
+), occ0 AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(t, i, {w}) AS span
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {w - 1}, 0) + 1)) AS i
+        FROM norm)
+), dup AS (
+  SELECT span FROM occ0 GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
+), occ AS (
+  SELECT o.doc_id, o.pos, o.span FROM occ0 o JOIN dup USING (span)
+), c1 AS (
+  SELECT span, min(doc_id) AS cd FROM occ GROUP BY span
+), c2 AS (
+  SELECT o.span, c1.cd, min(o.pos) AS cp
+  FROM occ o JOIN c1 ON o.span = c1.span AND o.doc_id = c1.cd
+  GROUP BY o.span, c1.cd
+), rm AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN c2 ON o.span = c2.span
+  WHERE NOT (o.doc_id = c2.cd AND o.pos = c2.cp)
+), g AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM rm
+), m AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE prev IS NULL OR pos - prev > {w}) AS INT)
+           AS n_spans_removed,
+         CAST(sum(CASE WHEN prev IS NULL THEN {w}
+                       ELSE least(pos - prev, {w}) END) AS BIGINT)
+           AS chars_removed,
+         max(pos) AS mx
+  FROM g GROUP BY doc_id
+), seg AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN g.prev IS NULL THEN substr(n.t, 1, g.pos - 1)
+              ELSE substr(n.t, g.prev + {w}, greatest(g.pos - g.prev - {w}, 0))
+         END AS seg
+  FROM g JOIN norm n USING (doc_id)
+), clean AS (
+  SELECT s.doc_id,
+         string_agg(s.seg, '' ORDER BY s.pos) || substr(any_value(n.t), any_value(m.mx) + {w}) AS ct
+  FROM seg s JOIN norm n USING (doc_id) JOIN m USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT m.doc_id, m.n_spans_removed, m.chars_removed,
+       CAST(length(c.ct) AS BIGINT) AS cleaned_len, md5(c.ct) AS cleaned_md5
+FROM m JOIN clean c USING (doc_id)
+ORDER BY m.doc_id LIMIT {limit}
+"""
+
+
 def bpe_merges(spark, sf_dir):
     """Tokenizer training (r4): the first 8 BPE merges learned from the
     corpus word-frequency table — an iterative Spark job whose per-round
@@ -3063,15 +3144,21 @@ FROM events GROUP BY 1, 2
 # are the ones with the most recent green artifacts and a sibling still in
 # the window covering the same operator family.
 QUERIES: dict[str, Query] = {
-    # -- new / plan-changed this round (r5) --
+    # -- new / plan-changed this round (r6) --
+    "exact_substring_dedup": exact_substring_dedup,  # NEW: Lee et al. removal
+    "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,  # rotated in (r5
+                                                 # named candidate)
+    "events_funnel": events_funnel,              # rotated in (r5 named
+                                                 # candidate)
+    "domain_mixture_sample": domain_mixture_sample,  # plan-changed r6:
+                                                 # two-phase sharded selection
+    "repeated_substrings": repeated_substrings,  # plan-changed r6: hash-first
+    # -- new r5 --
     "curation_source_prior": curation_source_prior,
     "graph_pagerank_dangling": graph_pagerank_dangling,
-    "bpe_merges": bpe_merges,                    # r4 op, twin freq cast fixed;
-                                                 # named rotation candidate
-    "domain_mixture_sample": domain_mixture_sample,
+    "bpe_merges": bpe_merges,                    # r4 op, twin freq cast fixed
     "dsir_importance_sample": dsir_importance_sample,
     "html_block_scores": html_block_scores,
-    "repeated_substrings": repeated_substrings,
     "bpe_token_counts": bpe_token_counts,
     "corpus_report": corpus_report,
     # -- new / plan-changed r4 --
@@ -3081,15 +3168,12 @@ QUERIES: dict[str, Query] = {
     "dedup_cross_corpus": dedup_cross_corpus,
     "graph_pagerank": graph_pagerank,
     "source_quality_rollup": source_quality_rollup,
-    "knn_label_accuracy": knn_label_accuracy,
-    "pq_ann_topk": pq_ann_topk,
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "ngram_jaccard": ngram_jaccard,              # r4: max_df hot-shingle cap
     "ivf_ann_topk": ivf_ann_topk,                # r4: k-means-refined centroids
     "dedup_clusters": dedup_clusters,            # r4: star-CC convergence rework sibling
     "doc_boilerplate_strip": doc_boilerplate_strip,  # r4: NULL-text contract fix
-    # -- rotated back into the window (last green r1/r2) --
-    "pivot_event_counts": pivot_event_counts,
+    # -- rotated back into the window r5 (last green r1/r2) --
     "events_props_extract": events_props_extract,
     # -- OCR pipeline goldens --
     "ocr_page_scores": ocr_page_scores,
@@ -3147,10 +3231,14 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # ann_cosine/ivf/pq/ivfpq
     "semi_suppliers_active": "r4",   # join family (broadcast/hash/anti/range)
                                      # still in window
-    "knn_label_accuracy_ivfpq": "new r5 (pytest-attested; window candidate "
-                                "next rotation)",
-    "events_funnel": "new r5 (pytest-attested; window candidate next "
-                     "rotation)",
+    "knn_label_accuracy": "r5",      # sibling in window: the IVF-PQ-backed
+                                     # knn_label_accuracy_ivfpq (rotated in
+                                     # r6) runs the same eval harness
+    "pq_ann_topk": "r5",             # ANN family siblings in window:
+                                     # ann_cosine/ivf/ivfpq (ivfpq composes
+                                     # the PQ encode/ADC machinery)
+    "pivot_event_counts": "r5",      # agg/pivot family; sibling in window:
+                                     # grouping_sets_orders
     "q5_region_revenue": "r4",       # join-agg family in window: q1/q3/
                                      # broadcast_part_revenue
     "stratified_sample": "r4",       # md5-threshold sampling family in
@@ -3192,8 +3280,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "lsh_ann_topk": lsh_ann_topk,
     "semi_suppliers_active": semi_suppliers_active,
-    "knn_label_accuracy_ivfpq": knn_label_accuracy_ivfpq,
-    "events_funnel": events_funnel,
+    "knn_label_accuracy": knn_label_accuracy,
+    "pq_ann_topk": pq_ann_topk,
+    "pivot_event_counts": pivot_event_counts,
     "q5_region_revenue": q5_region_revenue,
     "stratified_sample": stratified_sample,
     "html_main_content": html_main_content,
@@ -3264,6 +3353,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture_sample": _mixture_sql(),
         "html_block_scores": _html_blocks_sql(),
         "repeated_substrings": _repeated_spans_sql(),
+        "exact_substring_dedup": _exact_substring_sql(),
         "corpus_report": _CORPUS_REPORT_SQL,
         "bpe_token_counts": _bpe_encode_sql(),
         "dsir_importance_sample": _dsir_sql(),

@@ -451,3 +451,125 @@ def run_stream_incremental_dedup(spark: SparkSession, new_docs_dir: str,
     finally:
         ref_bands.unpersist()
     return cat.read(out_ref).select("new_id", "ref_id").distinct()
+
+
+def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
+                           out_root: str, run_id: str,
+                           ref_docs: DataFrame | None = None) -> dict:
+    """The daily-ingest dedup MODE (VERDICT r5 #7): the consumer the r5
+    candidate stream lacked.  One invocation = one ingest "day":
+
+      1. bootstrap or load the STORED reference band index
+         (<out_root>/ref_band_index — computed once, grows per day);
+      2. stream the newly landed files (file-source checkpoint under
+         <out_root>/checkpoint ⇒ each file is processed exactly once across
+         invocations), banding each doc per row (minhash_band_keys_expr,
+         stateless) and joining against the index inside foreachBatch —
+         every write is the Catalog keyed-batch pattern, so crash-replay
+         stays exactly-once;
+      3. post-stream: docs with >= 1 index match are DROPPED as duplicates;
+         survivors are anti-joined out, appended to <out_root>/clean_new,
+         and their bands appended to the reference index — tomorrow's
+         ingest dedups against today's survivors too.
+
+    In-day self-duplicates are out of scope by contract: new docs compare
+    against the reference index snapshot taken at stream start (the batch
+    minhash_lsh_candidates operator owns within-corpus dedup).  Docs with
+    no shingles produce no bands and always survive.
+
+    Returns counts: processed / duplicates / survivors / index_size."""
+    from ..operators.dedup import minhash_band_keys_expr, reference_band_index
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    idx_ref = f"{out_root}/ref_band_index"
+    if not cat.exists(idx_ref):
+        if ref_docs is not None:
+            boot = (reference_band_index(ref_docs)
+                    .select(F.col("ref_id").cast("string").alias("ref_id"),
+                            "band_key",
+                            F.lit("bootstrap").alias("ingest_run")))
+        else:
+            boot = spark.createDataFrame(
+                [], "ref_id: string, band_key: string, ingest_run: string")
+        cat.overwrite(boot, idx_ref)
+    # persist + materialize BEFORE batches start: the index joins into every
+    # micro-batch, and the post-stream index append must not change what the
+    # in-flight batches saw
+    ref_bands = cat.read(idx_ref).select("ref_id", "band_key").persist()
+    ref_bands.count()
+    schema = spark.read.parquet(new_docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_docs_dir)
+    keys = minhash_band_keys_expr(F.col("text"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{run_id}_b{batch_id}"
+        own = f"ingest_run = '{run_id}' AND _batch = {batch_id}"
+
+        def tag(df):
+            return (df.withColumn("ingest_run", F.lit(run_id))
+                    .withColumn("_batch", F.lit(batch_id)))
+
+        batch_df = batch_df.persist()  # feeds docs write + banding
+        try:
+            bands = (batch_df
+                     .select(F.col("doc_id").cast("string").alias("new_id"),
+                             F.explode(keys).alias("band_key"))
+                     .persist())  # feeds bands write + match join
+            cat.append(tag(batch_df), f"{out_root}/ingest_docs",
+                       run_id=key, replace_where=own)
+            cat.append(tag(bands), f"{out_root}/ingest_bands",
+                       run_id=key, replace_where=own)
+            matches = (bands.join(ref_bands, "band_key")
+                       .select("new_id", "ref_id").distinct())
+            cat.append(tag(matches), f"{out_root}/ingest_matches",
+                       run_id=key, replace_where=own)
+            bands.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{out_root}/checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination()
+    finally:
+        ref_bands.unpersist()
+
+    if not cat.exists(f"{out_root}/ingest_docs"):
+        # nothing has EVER landed — no per-run tables to reconcile
+        return {"processed": 0, "duplicates": 0, "survivors": 0,
+                "index_size": cat.read(idx_ref).count()}
+    this = F.col("ingest_run") == run_id
+    docs_now = cat.read(f"{out_root}/ingest_docs").where(this)
+    matches_now = (cat.read(f"{out_root}/ingest_matches").where(this)
+                   if cat.exists(f"{out_root}/ingest_matches")
+                   else None)
+    bands_now = cat.read(f"{out_root}/ingest_bands").where(this)
+    dup_ids = (matches_now.select("new_id").distinct() if matches_now is not None
+               else spark.createDataFrame([], "new_id: string"))
+    dup_ids = dup_ids.persist()  # feeds the anti-join and the dup count
+    survivors = (docs_now
+                 .join(dup_ids,
+                       docs_now["doc_id"].cast("string") == dup_ids["new_id"],
+                       "left_anti")
+                 .drop("_batch")
+                 .persist())  # feeds clean write + band semi-join + count
+    cat.append(survivors, f"{out_root}/clean_new", run_id=f"{run_id}_clean",
+               replace_where=f"ingest_run = '{run_id}'")
+    surv_bands = (bands_now
+                  .join(survivors.select(F.col("doc_id").cast("string")
+                                         .alias("new_id")),
+                        "new_id", "left_semi")
+                  .select(F.col("new_id").alias("ref_id"), "band_key",
+                          "ingest_run"))
+    cat.append(surv_bands, idx_ref, run_id=f"{run_id}_idx",
+               replace_where=f"ingest_run = '{run_id}'")
+    counts = {"processed": docs_now.count(),
+              "duplicates": dup_ids.count(),
+              "survivors": survivors.count(),
+              "index_size": cat.read(idx_ref).count()}
+    survivors.unpersist()
+    dup_ids.unpersist()
+    return counts

@@ -153,6 +153,256 @@ def test_repeated_substrings_empty_result_schema(spark):
     assert [f.name for f in out.schema.fields] == ["span", "n_docs", "n_occ"]
 
 
+# ---------------------------------------------------------------------------
+# r6: daily-ingest dedup mode (the consumer of the r5 incremental machinery)
+# ---------------------------------------------------------------------------
+
+_INGEST_TEXTS = {
+    "ref": "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron",
+    "uniq_a": "crimson harbor lantern meadow orchard prairie quarry "
+              "ridge summit thicket valley willow yonder zephyr arbor",
+    "uniq_b": "anchor bridge cascade dynamo engine furnace glacier "
+              "harvest island journey kestrel lagoon meridian nomad oasis",
+    "uniq_c": "pixel quartz raster shader texture uniform vertex "
+              "wavelet xenon yield zoom aperture bokeh contrast depth",
+}
+
+
+def _land(spark, land_dir, rows):
+    spark.createDataFrame(rows, "doc_id: string, text: string") \
+        .coalesce(1).write.mode("append").parquet(str(land_dir))
+
+
+def test_daily_ingest_dedup_two_days(spark, tmp_path):
+    from jobs.run_ingest import parse_args, run
+
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame([("r1", _INGEST_TEXTS["ref"])],
+                          "doc_id: string, text: string").write.parquet(ref)
+    land = tmp_path / "land"
+    out = str(tmp_path / "out")
+
+    def day(rid):
+        return parse_args(["--new", str(land), "--output", out,
+                           "--run-id", rid, "--reference", ref])
+
+    # day 1: one dup of the reference, two fresh docs
+    _land(spark, land, [("n1", _INGEST_TEXTS["ref"]),
+                        ("n2", _INGEST_TEXTS["uniq_a"]),
+                        ("n3", _INGEST_TEXTS["uniq_b"])])
+    c1 = run(spark, day("d1"))
+    assert (c1["processed"], c1["duplicates"], c1["survivors"]) == (3, 1, 2)
+
+    # day 2: one dup of a DAY-1 SURVIVOR (the index grew), one fresh doc
+    _land(spark, land, [("n4", _INGEST_TEXTS["uniq_a"]),
+                        ("n5", _INGEST_TEXTS["uniq_c"])])
+    c2 = run(spark, day("d2"))
+    assert (c2["processed"], c2["duplicates"], c2["survivors"]) == (2, 1, 1)
+    assert c2["index_size"] > c1["index_size"]
+
+    clean = spark.read.parquet(f"{out}/clean_new")
+    assert sorted(r["doc_id"] for r in clean.collect()) == ["n2", "n3", "n5"]
+
+    # re-running day 2 with no new files replays nothing and changes nothing
+    c2b = run(spark, day("d2"))
+    assert c2b == c2
+    clean2 = spark.read.parquet(f"{out}/clean_new")
+    assert sorted(r["doc_id"] for r in clean2.collect()) == ["n2", "n3", "n5"]
+
+    # a fresh run-id with no new files is a clean no-op
+    c3 = run(spark, day("d3"))
+    assert (c3["processed"], c3["duplicates"], c3["survivors"]) == (0, 0, 0)
+
+
+def test_ingest_run_id_validation():
+    from jobs.run_ingest import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--new", "x", "--output", "y", "--run-id", "d'1"])
+
+
+# ---------------------------------------------------------------------------
+# r6: vectorized BPE encode kernel for production merge-table sizes
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_kernel_equals_projection(spark):
+    """VERDICT r5 #6: the mapInPandas encode must equal the K-chained-replace
+    projection at K=8 (the pinned crossover test), including multi-space /
+    repeated-char words where the delimiter anchoring matters."""
+    from page_evaluator_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_encode_counts_kernel,
+        bpe_train,
+    )
+
+    rng = random.Random(9)
+    vocab = ["banana", "bandana", "aaaa", "abab", "low", "lower", "lowest",
+             "new", "newer", "newest", "wide", "wider"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(25)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = bpe_train(d, n_merges=8)
+    assert len(merges) == 8
+    proj = sorted(map(tuple, bpe_encode_counts(d, n_merges=8).collect()))
+    kern = sorted(map(tuple, bpe_encode_counts_kernel(
+        d, merges=merges).collect()))
+    assert proj == kern
+
+
+def test_bpe_encode_kernel_handles_large_merge_table(spark):
+    """The kernel's reason to exist: a merge-table size where building the
+    chained projection is already impractical.  Correctness cross-checked
+    against a per-word pure-Python replay."""
+    from page_evaluator_spark.operators.tokenizer import (
+        bpe_encode_counts_kernel,
+    )
+
+    # synthetic 600-merge table over a tiny alphabet (ranks beyond what the
+    # corpus contains simply never fire — same as a shipped table)
+    merges = []
+    syms = ["a", "b", "c", "d"]
+    rank = 0
+    for x in syms:
+        for y in syms:
+            for z in [""] + syms:
+                if rank >= 600:
+                    break
+                merges.append((rank, f"{x + z if z else x} {y}",
+                               (x + z if z else x) + y, 1))
+                rank += 1
+    rows = [(1, "abcd aabb abab dcba"), (2, "aaaa bbbb"), (3, "a b c d")]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["n_words"], r["n_base_syms"], r["n_bpe_syms"])
+           for r in bpe_encode_counts_kernel(d, merges=merges).collect()}
+
+    def replay(word):
+        s = "".join(f" {ch} " for ch in word)
+        for _r, pair, merged, _f in merges:
+            a, b = pair.split(" ")
+            s = s.replace(f" {a}  {b} ", f" {merged} ")
+        return len(s.strip().split("  "))
+
+    for did, text in rows:
+        words = text.split()
+        exp = (len(words), sum(len(w) for w in words),
+               sum(replay(w) for w in words))
+        assert out[did] == exp, did
+
+
+# ---------------------------------------------------------------------------
+# r6: exact-substring dedup completion (Lee et al. 2021 removal stage)
+# ---------------------------------------------------------------------------
+
+def _py_exact_substring(docs: dict, width: int = 24, min_docs: int = 2):
+    """Pure-Python reference for exact_substring_clean: same normalization
+    ([ \\t\\n\\x0B\\f\\r] is Java's \\s — Python's is Unicode-wide), same
+    canonical-first-occurrence rule, interval merge by slicing."""
+    norm = {k: re.sub(r"[ \t\n\x0B\f\r]+", " ", v).strip().lower()
+            for k, v in docs.items()}
+    occ: dict[str, list] = {}
+    for did in sorted(norm):
+        t = norm[did]
+        for i in range(len(t) - width + 1):
+            occ.setdefault(t[i:i + width], []).append((did, i + 1))
+    rm: dict = {}
+    for lst in occ.values():
+        if len({d for d, _ in lst}) >= min_docs:
+            canon = min(lst)
+            for d, p in lst:
+                if (d, p) != canon:
+                    rm.setdefault(d, set()).add(p)
+    out = {}
+    for did, t in norm.items():
+        ps = sorted(rm.get(did, ()))
+        if not ps:
+            out[did] = (t, 0, 0)
+            continue
+        cleaned, n_spans, chars = t[:ps[0] - 1], 1, width
+        for prev, cur in zip(ps, ps[1:]):
+            gap = cur - prev
+            if gap > width:
+                n_spans += 1
+            chars += min(gap, width)
+            cleaned += t[prev + width - 1:cur - 1]
+        cleaned += t[ps[-1] + width - 1:]
+        out[did] = (cleaned, n_spans, chars)
+    return out
+
+
+def test_exact_substring_clean_matches_python_reference(spark):
+    from page_evaluator_spark.operators.dedup import exact_substring_clean
+
+    rng = random.Random(17)
+    vocab = ["amber", "birch", "cedar", "dune", "elm", "fern", "grove"]
+    passage_a = "the very same duplicated training passage appears here"
+    passage_b = "another big shared chunk of boilerplate text to strip"
+    docs = {}
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(4, 25))]
+        txt = " ".join(words)
+        if i % 3 == 0:
+            txt += "  " + passage_a  # double space: normalization folds it
+        if i % 5 == 0:
+            txt = passage_b + " " + txt
+        docs[i] = txt
+    d = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_spans_removed"],
+                         r["chars_removed"])
+           for r in exact_substring_clean(d, width=24).collect()}
+    ref = _py_exact_substring(docs, width=24)
+    assert got == ref
+    # the canonical first occurrence survives somewhere
+    assert any(passage_a in t for t, _, _ in got.values())
+    assert any(passage_b in t for t, _, _ in got.values())
+    # and the duplicates were actually cut
+    assert sum(passage_a in t for t, _, _ in got.values()) == 1
+    assert sum(passage_b in t for t, _, _ in got.values()) == 1
+
+
+def test_exact_substring_position_shuffles_carry_hashes_only(spark):
+    from page_evaluator_spark.operators.dedup import _dup_window_positions
+
+    d = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(4)],
+        "doc_id: long, text: string")
+    plan = _plan(_dup_window_positions(d, 24, 2, "text", "doc_id"))
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "span" not in part and "t#" not in part, \
+            f"position shuffle carries text: {part}"
+
+
+def test_curation_exact_substring_stage(spark, tmp_path):
+    from jobs.run_curation import parse_args, run
+
+    passage = "a long duplicated passage planted verbatim in two documents"
+    rows = [("0", "first doc unique words " + passage, "en"),
+            ("1", passage + " second doc with its own tail", "en"),
+            ("2", "a third document with nothing in common at all", "en")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id: string, text: string, lang: string") \
+        .write.parquet(src)
+    counts = run(spark, parse_args(
+        ["--input", src, "--output", str(tmp_path / "o1"),
+         "--stages", "exact_substring"]))
+    assert counts["kept"] == counts["input"] == 3  # rewrites, never drops
+    assert counts["substring_cleaned_docs"] == 1
+    assert counts["substring_removed_chars"] > 0
+    clean = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(tmp_path / "o1/clean_docs")).collect()}
+    assert passage in clean["0"]        # canonical occurrence kept
+    assert passage not in clean["1"]    # duplicate cut
+    assert clean["2"] == rows[2][1]     # untouched (already normalized)
+
+
+def test_curation_substring_width_validation():
+    from jobs.run_curation import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y",
+                    "--stages", "exact_substring", "--substring-width", "4"])
+
+
 def test_mixture_zero_token_docs_and_empty_source_edge(spark):
     """Zero-token docs sort inside shards like any other row and are kept
     while cum <= target (cum unchanged) — parity with the single-window

@@ -123,6 +123,36 @@ def main(out_dir: Path | str = GOLDEN_DIR) -> None:
                      ("media_kind", s), ("caption_excerpt", s),
                      ("caption_len", i32)]))
 
+    # interleaved-corpus datasheet (r6, VERDICT r5 #8): the one-row release
+    # summary covering the MULTIMODAL corpus — span mix by kind, how many
+    # docs carry media, and caption coverage (from the same adjacency rule
+    # as media_captions).  Coverage rounding is explicit half-up fixed-point
+    # (floor(x*1e4 + 0.5)/1e4) — Python round() is banker's, Spark's is not.
+    import math
+
+    n_docs = len(docs)
+    n_spans = sum(len(d["spans"]) for d in docs)
+    n_media = len(media_rows)
+    kind_counts: dict[str, int] = {}
+    for _, _, kind in media_rows:
+        kind_counts[kind] = kind_counts.get(kind, 0) + 1
+    media_docs = sum(1 for d in docs
+                     if any(sp["kind"] in oracle.MEDIA_KINDS
+                            for sp in d["spans"]))
+    captioned = sum(1 for r in cap_rows if r[4] is not None)
+    coverage = (math.floor(captioned / n_media * 10000.0 + 0.5) / 10000.0
+                if n_media else 0.0)
+    i64, f64 = pa.int64(), pa.float64()
+    write("interleaved_datasheet.parquet",
+          [[n_docs, n_spans, n_spans - n_media, n_media,
+            kind_counts.get("image", 0), kind_counts.get("table", 0),
+            kind_counts.get("figure", 0), media_docs, captioned, coverage]],
+          pa.schema([("n_docs", i64), ("n_spans", i64),
+                     ("n_text_spans", i64), ("n_media_spans", i64),
+                     ("n_images", i64), ("n_tables", i64),
+                     ("n_figures", i64), ("media_docs", i64),
+                     ("captioned_media", i64), ("caption_coverage", f64)]))
+
 
 if __name__ == "__main__":
     main()

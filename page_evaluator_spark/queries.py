@@ -2758,6 +2758,56 @@ def ocr_media_captions(spark, sf_dir):
             .orderBy("doc_id", "span_ord", "media_ref"))
 
 
+def interleaved_datasheet(spark, sf_dir):
+    """One-row MULTIMODAL release datasheet (r6, VERDICT r5 #8): the span
+    mix of the interleaved text+media corpus — counts per media kind, how
+    many docs carry media, and CAPTION COVERAGE (media spans with a
+    caption candidate under the ocr_media_captions adjacency rule).  The
+    text-table corpus_report and this row together are the datasheet a
+    multimodal training corpus ships with.
+
+    Shape: one posexplode + the same forward first_value window the
+    captions query runs, folded into a single global agg (plus a 1-row
+    doc-count crossJoin — posexplode of a zero-span doc would silently
+    undercount n_docs).  Coverage rounding is explicit half-up fixed-point
+    on both sides (Python round() is banker's; Spark's differs on binary
+    representation edges)."""
+    from .operators.parse import MEDIA_KINDS
+
+    docs = _corpus_df(spark)
+    sp = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+          .select("doc_id", "pos",
+                  F.col("span.offset").alias("span_offset"),
+                  F.col("span.kind").alias("kind"),
+                  F.col("span.text").alias("text")))
+    w = (Window.partitionBy("doc_id").orderBy("span_offset", "pos")
+         .rowsBetween(1, Window.unboundedFollowing))
+    cap = F.first(F.when(~F.col("kind").isin(*MEDIA_KINDS), F.col("text")),
+                  ignorenulls=True).over(w)
+    is_media = F.col("kind").isin(*MEDIA_KINDS)
+    agg = (sp.withColumn("cap", cap).agg(
+        F.count("*").alias("n_spans"),
+        F.sum((~is_media).cast("long")).alias("n_text_spans"),
+        F.sum(is_media.cast("long")).alias("n_media_spans"),
+        F.sum((F.col("kind") == "image").cast("long")).alias("n_images"),
+        F.sum((F.col("kind") == "table").cast("long")).alias("n_tables"),
+        F.sum((F.col("kind") == "figure").cast("long")).alias("n_figures"),
+        F.countDistinct(F.when(is_media, F.col("doc_id")))
+        .alias("media_docs"),
+        F.sum((is_media & F.col("cap").isNotNull()).cast("long"))
+        .alias("captioned_media")))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    cov = F.when(F.col("n_media_spans") > 0,
+                 F.floor(F.col("captioned_media").cast("double")
+                         / F.col("n_media_spans").cast("double")
+                         * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)) \
+        .otherwise(F.lit(0.0))
+    return (nd.crossJoin(agg)
+            .select("n_docs", "n_spans", "n_text_spans", "n_media_spans",
+                    "n_images", "n_tables", "n_figures", "media_docs",
+                    "captioned_media", cov.alias("caption_coverage")))
+
+
 def ocr_page_scores(spark, sf_dir):
     from .plans.pipeline import evaluate_documents
 
@@ -3091,6 +3141,7 @@ _OCR_SPANS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_spans_out.parquet'"
 _OCR_QUAR_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_quarantine.parquet'"
 _OCR_WORST_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_worst_pages.parquet'"
 _OCR_CAPTIONS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/media_captions.parquet'"
+_DATASHEET_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/interleaved_datasheet.parquet'"
 
 
 # ---------------------------------------------------------------------------
@@ -3150,13 +3201,14 @@ QUERIES: dict[str, Query] = {
                                                  # named candidate)
     "events_funnel": events_funnel,              # rotated in (r5 named
                                                  # candidate)
+    "interleaved_datasheet": interleaved_datasheet,  # NEW: multimodal
+                                                 # release datasheet
     "domain_mixture_sample": domain_mixture_sample,  # plan-changed r6:
                                                  # two-phase sharded selection
     "repeated_substrings": repeated_substrings,  # plan-changed r6: hash-first
     # -- new r5 --
     "curation_source_prior": curation_source_prior,
     "graph_pagerank_dangling": graph_pagerank_dangling,
-    "bpe_merges": bpe_merges,                    # r4 op, twin freq cast fixed
     "dsir_importance_sample": dsir_importance_sample,
     "html_block_scores": html_block_scores,
     "bpe_token_counts": bpe_token_counts,
@@ -3231,6 +3283,9 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                                      # ann_cosine/ivf/pq/ivfpq
     "semi_suppliers_active": "r4",   # join family (broadcast/hash/anti/range)
                                      # still in window
+    "bpe_merges": "r5",              # sibling in window: bpe_token_counts
+                                     # composes the same training loop plus
+                                     # the encode pass
     "knn_label_accuracy": "r5",      # sibling in window: the IVF-PQ-backed
                                      # knn_label_accuracy_ivfpq (rotated in
                                      # r6) runs the same eval harness
@@ -3280,6 +3335,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "lsh_ann_topk": lsh_ann_topk,
     "semi_suppliers_active": semi_suppliers_active,
+    "bpe_merges": bpe_merges,
     "knn_label_accuracy": knn_label_accuracy,
     "pq_ann_topk": pq_ann_topk,
     "pivot_event_counts": pivot_event_counts,
@@ -3390,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_quarantine": _OCR_QUAR_SQL,
         "ocr_worst_pages": _OCR_WORST_SQL,
         "ocr_media_captions": _OCR_CAPTIONS_SQL,
+        "interleaved_datasheet": _DATASHEET_SQL,
         "streaming_events_daily": _STREAMING_SQL,
         "streaming_click_to_purchase": _SS_JOIN_SQL,
         # rows-only by design (the ONLY 2 of 62): events_approx_distinct and

@@ -21,7 +21,8 @@ sys.path.insert(0, str(REPO / "fixtures"))
 GOLDEN = REPO / "fixtures" / "golden"
 FILES = ["ocr_page_scores.parquet", "ocr_spans_out.parquet",
          "ocr_quarantine.parquet", "ocr_worst_pages.parquet",
-         "media_spans.parquet", "media_captions.parquet"]
+         "media_spans.parquet", "media_captions.parquet",
+         "interleaved_datasheet.parquet"]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -16,9 +16,10 @@ already exposes (and that the driver harness hash-verifies individually):
                 input at the 2/3 NLL quantile; OPT-IN
   exact_substring cross-document exact-substring removal (Lee et al. 2021,
                 dedup.exact_substring_clean): duplicated windows merge into
-                maximal spans and are CUT from the text (normalized form),
-                keeping one canonical occurrence corpus-wide; rewrites text,
-                drops nothing; OPT-IN
+                maximal spans and are CUT from the text (case-preserved,
+                whitespace-collapsed form; untouched docs pass through
+                verbatim), keeping one canonical occurrence corpus-wide;
+                rewrites affected text, drops nothing; OPT-IN
   decontaminate benchmark n-gram overlap drop (curation.benchmark_contamination)
   cluster       MinHash-LSH near-dup clusters; keep each cluster's canonical doc
   pack          token-budget sequence packing (curation.pack_token_budget)
@@ -261,9 +262,10 @@ def run(spark, args) -> dict[str, int]:
         docs = checkpoint_stage(docs.join(bad, "doc_id", "left_anti"))
 
     if "exact_substring" in args.stage_list:
-        # cross-document exact-substring removal: REWRITES text (to its
-        # normalized, de-duplicated form), drops no docs — audited via
-        # counters, not the drop ledger
+        # cross-document exact-substring removal: REWRITES affected docs'
+        # text (case-preserved, whitespace-collapsed, duplicated spans cut;
+        # untouched docs verbatim), drops no docs — audited via counters,
+        # not the drop ledger
         from page_evaluator_spark.operators.dedup import exact_substring_clean
 
         cleaned = checkpoint_stage(

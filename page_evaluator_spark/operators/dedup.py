@@ -417,23 +417,40 @@ def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
             .limit(top_k))
 
 
+def ws_collapsed(col: Column) -> Column:
+    """Whitespace-collapsed, CASE-PRESERVED text — the canonical form the
+    exact-substring removal operates on.  Deliberately not lowercased:
+    Lee et al. 2021 match raw bytes, and a dedup stage must not destroy
+    case information corpus-wide as a side effect (code-review r6)."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
 def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
                           text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, pos): 1-based positions (in the NORMALIZED text) of width-char
-    windows occurring in >= min_docs distinct documents, MINUS the single
-    canonical occurrence per window — min (doc_id, pos) keeps its copy, every
-    other occurrence is marked for removal (Lee et al. 2021 semantics:
-    duplicated spans survive exactly once in the corpus).
+    """(doc_id, pos): 1-based positions (in the whitespace-collapsed text) of
+    width-char windows occurring in >= min_docs distinct documents, MINUS the
+    single canonical occurrence per window — min (doc_id, pos) keeps its
+    copy, every other occurrence is marked for removal (Lee et al. 2021
+    semantics: duplicated spans survive exactly once in the corpus).
 
-    Scale shape: the counting agg and the position join are keyed by
-    xxhash64 of the window — the corpus-wide shuffles carry
-    (8-byte hash, doc_id, int pos) rows, never text (the item-3 doctrine)."""
-    t = normalized_text(F.col(text_col))
+    Scale shape: the counting agg and the position join are keyed by a
+    128-bit double-xxhash64 of the window — fixed 16-byte shuffle keys,
+    never text.  Two independent 64-bit hashes must BOTH collide for a
+    false removal (~2^-128 per pair — the same hash-equality doctrine as
+    the md5-keyed exact_dedup_groups); a single 64-bit key was judged too
+    weak for a path that REWRITES corpus text (~10^14 windows at the
+    100 TB design point → ~10^8 expected 64-bit collisions)."""
+    t = ws_collapsed(F.col(text_col))
     staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
-              .repartition("doc_id"))  # materialize the normalization once
+              .repartition("doc_id"))  # materialize the collapse once
     n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
+
+    def win_key(s):
+        return F.struct(F.xxhash64(s).alias("h1"),
+                        F.xxhash64(F.lit(0x9E3779B9), s).alias("h2"))
+
     wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-                       lambda i: F.xxhash64(F.substring(F.col("t"), i, width)))
+                       lambda i: win_key(F.substring(F.col("t"), i, width)))
     occ = (staged.where(n_wins > 0)
            .select("doc_id", F.posexplode(wins).alias("p0", "h"))
            .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "h"))
@@ -458,10 +475,13 @@ def exact_substring_clean(docs: DataFrame, width: int = 24, min_docs: int = 2,
     into intervals — and a removal pass cuts those intervals out of the
     text, keeping the canonical first occurrence corpus-wide.
 
-    The rule operates on the NORMALIZED text (whitespace-collapsed,
-    lowercased — the same canonical byte form the paper's suffix-array
-    pipeline fixes before matching); normalization is part of the frozen
-    contract, so untouched docs also come back normalized.
+    The rule operates on the WHITESPACE-COLLAPSED, CASE-PRESERVED text:
+    matching is case-sensitive exactly as the paper's raw-byte suffix-array
+    matching, and case survives the rewrite (lowercasing a training corpus
+    as a dedup side effect destroys signal — code-review r6).  Docs with
+    nothing to remove pass through VERBATIM (original whitespace included);
+    affected docs come back in the collapsed form their cut positions are
+    defined in.
 
     Returns EVERY input doc: (doc_id, text_clean, n_spans_removed,
     chars_removed).  All interval math is pure Catalyst expressions over
@@ -475,8 +495,9 @@ def exact_substring_clean(docs: DataFrame, width: int = 24, min_docs: int = 2,
     rm = _dup_window_positions(docs, width, min_docs, text_col, id_col)
     ps_df = (rm.groupBy("doc_id")
              .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
-    t = normalized_text(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("orig"),
+                       ws_collapsed(F.col(text_col)).alias("t"))
     j = base.join(ps_df, "doc_id", "left")
     w = int(width)
     expr_n = (
@@ -491,7 +512,7 @@ def exact_substring_clean(docs: DataFrame, width: int = 24, min_docs: int = 2,
         f"a + CAST(least(element_at(ps, i) - element_at(ps, i - 1), {w}) "
         f"AS BIGINT)), CAST(0 AS BIGINT)) END")
     expr_clean = (
-        "CASE WHEN ps IS NULL THEN t ELSE concat("
+        "CASE WHEN ps IS NULL THEN orig ELSE concat("
         "substring(t, 1, element_at(ps, 1) - 1), "
         "IF(size(ps) > 1, concat_ws('', transform(sequence(2, size(ps)), "
         f"i -> substring(t, element_at(ps, i - 1) + {w}, "

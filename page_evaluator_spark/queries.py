@@ -1148,7 +1148,8 @@ ORDER BY n_docs DESC, n_occ DESC, span LIMIT {top_k}
 def exact_substring_dedup(spark, sf_dir):
     """Exact-substring dedup COMPLETED (r6, VERDICT r5 #5): duplicated
     24-char windows merge into maximal per-doc intervals and are cut from
-    the normalized text, keeping one canonical occurrence corpus-wide.
+    the case-preserved whitespace-collapsed text, keeping one canonical
+    occurrence corpus-wide.
     Audit rollup per affected doc: interval count, removed chars, and the
     md5 of the cleaned text (the strongest per-row probe — any divergence
     in span extents or the cut arithmetic flips the hash)."""
@@ -1171,11 +1172,12 @@ def _exact_substring_sql(width: int = 24, min_docs: int = 2,
     min() does not order structs); interval merge via lag() — consecutive
     removed positions p, q start a new interval when q - p > width, and
     the kept text is head + per-gap substrings + tail re-assembled with an
-    ordered string_agg."""
+    ordered string_agg.  Matching is case-SENSITIVE on whitespace-collapsed
+    text (ws_collapsed — the Lee et al. raw-byte contract)."""
     w = int(width)
     return rf"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
   FROM documents
 ), occ0 AS (
   SELECT doc_id, CAST(i AS INT) AS pos, substr(t, i, {w}) AS span

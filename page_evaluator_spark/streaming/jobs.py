@@ -492,14 +492,35 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
         else:
             boot = spark.createDataFrame(
                 [], "ref_id: string, band_key: string, ingest_run: string")
-        cat.overwrite(boot, idx_ref)
+        # bootstrap MUST go through the same keyed-append layout as every
+        # later index write: on the parquet branch, overwrite() puts files at
+        # the table root while append() creates commit= partition dirs, and
+        # spark.read.parquet silently DROPS root-level files once partition
+        # dirs exist — the bootstrap bands would vanish from day 2 on
+        # (code-review r6, reproduced live)
+        cat.append(boot, idx_ref, run_id="bootstrap",
+                   replace_where="ingest_run = 'bootstrap'")
     # persist + materialize BEFORE batches start: the index joins into every
     # micro-batch, and the post-stream index append must not change what the
     # in-flight batches saw
     ref_bands = cat.read(idx_ref).select("ref_id", "band_key").persist()
     ref_bands.count()
-    schema = spark.read.parquet(new_docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(new_docs_dir)
+    import os as _os
+
+    has_files = _os.path.isdir(new_docs_dir) and any(
+        n.endswith(".parquet") for n in _os.listdir(new_docs_dir))
+    if not has_files:
+        # nothing has landed yet (or the producer dir does not exist):
+        # a clean no-op day — schema inference over an empty dir would
+        # crash before any checkpoint/index work (code-review r6)
+        ref_bands.unpersist()
+        if not cat.exists(f"{out_root}/ingest_docs"):
+            return {"processed": 0, "duplicates": 0, "survivors": 0,
+                    "index_size": cat.read(idx_ref).count()}
+        stream = None
+    else:
+        schema = spark.read.parquet(new_docs_dir).schema
+        stream = spark.readStream.schema(schema).parquet(new_docs_dir)
     keys = minhash_band_keys_expr(F.col("text"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -516,26 +537,29 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
                      .select(F.col("doc_id").cast("string").alias("new_id"),
                              F.explode(keys).alias("band_key"))
                      .persist())  # feeds bands write + match join
-            cat.append(tag(batch_df), f"{out_root}/ingest_docs",
-                       run_id=key, replace_where=own)
-            cat.append(tag(bands), f"{out_root}/ingest_bands",
-                       run_id=key, replace_where=own)
-            matches = (bands.join(ref_bands, "band_key")
-                       .select("new_id", "ref_id").distinct())
-            cat.append(tag(matches), f"{out_root}/ingest_matches",
-                       run_id=key, replace_where=own)
-            bands.unpersist()
+            try:
+                cat.append(tag(batch_df), f"{out_root}/ingest_docs",
+                           run_id=key, replace_where=own)
+                cat.append(tag(bands), f"{out_root}/ingest_bands",
+                           run_id=key, replace_where=own)
+                matches = (bands.join(ref_bands, "band_key")
+                           .select("new_id", "ref_id").distinct())
+                cat.append(tag(matches), f"{out_root}/ingest_matches",
+                           run_id=key, replace_where=own)
+            finally:
+                bands.unpersist()
         finally:
             batch_df.unpersist()
 
-    q = (stream.writeStream.foreachBatch(sink)
-         .option("checkpointLocation", f"{out_root}/checkpoint")
-         .trigger(availableNow=True)
-         .start())
-    try:
-        q.awaitTermination()
-    finally:
-        ref_bands.unpersist()
+    if stream is not None:
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", f"{out_root}/checkpoint")
+             .trigger(availableNow=True)
+             .start())
+        try:
+            q.awaitTermination()
+        finally:
+            ref_bands.unpersist()
 
     if not cat.exists(f"{out_root}/ingest_docs"):
         # nothing has EVER landed — no per-run tables to reconcile
@@ -554,7 +578,11 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
                  .join(dup_ids,
                        docs_now["doc_id"].cast("string") == dup_ids["new_id"],
                        "left_anti")
-                 .drop("_batch")
+                 # drop the ledger columns: '_batch' is internal, and on the
+                 # parquet branch reads also surface the inferred 'commit'
+                 # partition column — written into clean_new it would collide
+                 # with clean_new's own commit= keying (code-review r6)
+                 .drop("_batch", "commit")
                  .persist())  # feeds clean write + band semi-join + count
     cat.append(survivors, f"{out_root}/clean_new", run_id=f"{run_id}_clean",
                replace_where=f"ingest_run = '{run_id}'")

@@ -194,11 +194,14 @@ def test_daily_ingest_dedup_two_days(spark, tmp_path):
     c1 = run(spark, day("d1"))
     assert (c1["processed"], c1["duplicates"], c1["survivors"]) == (3, 1, 2)
 
-    # day 2: one dup of a DAY-1 SURVIVOR (the index grew), one fresh doc
+    # day 2: one dup of a DAY-1 SURVIVOR (the index grew), one dup of the
+    # BOOTSTRAP reference (code-review r6: the overwrite/append layout split
+    # silently dropped bootstrap bands from day 2 on), one fresh doc
     _land(spark, land, [("n4", _INGEST_TEXTS["uniq_a"]),
+                        ("n6", _INGEST_TEXTS["ref"]),
                         ("n5", _INGEST_TEXTS["uniq_c"])])
     c2 = run(spark, day("d2"))
-    assert (c2["processed"], c2["duplicates"], c2["survivors"]) == (2, 1, 1)
+    assert (c2["processed"], c2["duplicates"], c2["survivors"]) == (3, 2, 1)
     assert c2["index_size"] > c1["index_size"]
 
     clean = spark.read.parquet(f"{out}/clean_new")
@@ -213,6 +216,21 @@ def test_daily_ingest_dedup_two_days(spark, tmp_path):
     # a fresh run-id with no new files is a clean no-op
     c3 = run(spark, day("d3"))
     assert (c3["processed"], c3["duplicates"], c3["survivors"]) == (0, 0, 0)
+
+
+def test_daily_ingest_empty_landing_dir_is_noop(spark, tmp_path):
+    """Code-review r6: a scheduled run before the first files land must be
+    a clean no-op (bootstrap + zero counts), not a schema-inference crash."""
+    from jobs.run_ingest import parse_args, run
+
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame([("r1", _INGEST_TEXTS["ref"])],
+                          "doc_id: string, text: string").write.parquet(ref)
+    c = run(spark, parse_args(
+        ["--new", str(tmp_path / "never_created"), "--output",
+         str(tmp_path / "out"), "--run-id", "d0", "--reference", ref]))
+    assert (c["processed"], c["duplicates"], c["survivors"]) == (0, 0, 0)
+    assert c["index_size"] > 0  # the bootstrap still happened
 
 
 def test_ingest_run_id_validation():
@@ -295,10 +313,11 @@ def test_bpe_encode_kernel_handles_large_merge_table(spark):
 # ---------------------------------------------------------------------------
 
 def _py_exact_substring(docs: dict, width: int = 24, min_docs: int = 2):
-    """Pure-Python reference for exact_substring_clean: same normalization
-    ([ \\t\\n\\x0B\\f\\r] is Java's \\s — Python's is Unicode-wide), same
-    canonical-first-occurrence rule, interval merge by slicing."""
-    norm = {k: re.sub(r"[ \t\n\x0B\f\r]+", " ", v).strip().lower()
+    """Pure-Python reference for exact_substring_clean: same whitespace
+    collapse ([ \\t\\n\\x0B\\f\\r] is Java's \\s — Python's is Unicode-wide),
+    CASE-SENSITIVE matching, same canonical-first-occurrence rule, interval
+    merge by slicing; untouched docs pass through verbatim."""
+    norm = {k: re.sub(r"[ \t\n\x0B\f\r]+", " ", v).strip()
             for k, v in docs.items()}
     occ: dict[str, list] = {}
     for did in sorted(norm):
@@ -316,7 +335,7 @@ def _py_exact_substring(docs: dict, width: int = 24, min_docs: int = 2):
     for did, t in norm.items():
         ps = sorted(rm.get(did, ()))
         if not ps:
-            out[did] = (t, 0, 0)
+            out[did] = (docs[did], 0, 0)  # verbatim, original whitespace
             continue
         cleaned, n_spans, chars = t[:ps[0] - 1], 1, width
         for prev, cur in zip(ps, ps[1:]):
@@ -358,6 +377,23 @@ def test_exact_substring_clean_matches_python_reference(spark):
     # and the duplicates were actually cut
     assert sum(passage_a in t for t, _, _ in got.values()) == 1
     assert sum(passage_b in t for t, _, _ in got.values()) == 1
+
+
+def test_exact_substring_is_case_sensitive_and_case_preserving(spark):
+    """Code-review r6: matching is case-SENSITIVE (the Lee et al. raw-byte
+    contract) and the rewrite never lowercases — an uppercased variant of a
+    duplicated passage is different text and must survive verbatim."""
+    from page_evaluator_spark.operators.dedup import exact_substring_clean
+
+    passage = "This Duplicated Passage Keeps Its Capital Letters Intact"
+    rows = [(1, "head one " + passage), (2, passage + " tail two"),
+            (3, "head three " + passage.upper())]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in exact_substring_clean(d, width=24).collect()}
+    assert passage in out[1]["text_clean"]       # canonical keeps case
+    assert passage not in out[2]["text_clean"]   # duplicate cut
+    assert out[3]["n_spans_removed"] == 0        # different bytes — no match
+    assert out[3]["text_clean"] == rows[2][1]    # verbatim passthrough
 
 
 def test_exact_substring_position_shuffles_carry_hashes_only(spark):

@@ -11,13 +11,21 @@ Method (BASELINE.md protocol):
   * input pre-generated to a cached parquet (generation excluded from timing);
   * each parallelism level runs in its OWN subprocess (fresh JVM — no
     cross-contamination of heap/JIT/python-worker state);
-  * per level: 1 warmup + 2 timed runs, MIN reported (robust to
-    noisy-neighbor load on the shared sandbox host);
+  * the primary 2c→8c pair runs as PAIRED SESSIONS (both levels back-to-back
+    in one noise window, warmup + 1 timed run each, 1-min loadavg recorded
+    before each level); the published walls and ratio are the per-level MINS
+    across sessions — noise only slows runs, so each min estimates the quiet
+    wall and the min-walls ratio estimates the quiet ratio without the
+    one-sided bias a best-of-N ratio would have.  ≥2 sessions always run,
+    up to 5 while the 0.8 bar is missed; every session ships in the
+    artifact, so a residual miss carries its own load evidence;
+  * headline queries: 1 warmup + 2 timed runs in-process, MIN reported;
   * primary scaling pair is local[2] → local[8] (both below the single-box
     memory-bandwidth saturation point, the honest proxy for adding executor
-    machines); local[8] → local[32] is reported as a secondary pair — on one
-    box the 32-thread run shares one memory bus + LLC with 32 Python workers,
-    which a real 4N-machine cluster does not (see BASELINE.md).
+    machines); local[8] → local[32] is reported as a secondary pair from its
+    own back-to-back mini-session — on one box the 32-thread run shares one
+    memory bus + LLC with 32 Python workers, which a real 4N-machine cluster
+    does not (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -236,13 +244,15 @@ def _paired_scaling_sessions(corpus: str, max_sessions: int = 5) -> list[dict]:
     Protocol: the 2c and 8c levels run back-to-back inside one SESSION
     (same host-noise window), each level a fresh JVM with warmup; the
     1-minute load average is recorded immediately before each level.  The
-    per-session ratio is the honest plan signal; across sessions the BEST
-    ratio is the estimate (noise only slows runs — it can push a single
-    session's ratio either way, but the max over paired sessions converges
-    to the quiet-host value).  At least two sessions always run; while the
-    best ratio misses the 0.8 contract bar, up to max_sessions run — and
-    every session's walls + loads ship in the artifact, so a residual miss
-    carries its own load evidence."""
+    ESTIMATOR is the ratio of per-level MINS across sessions: noise only
+    slows runs, so min(t2) and min(t8) each converge (from above) to the
+    quiet wall and their ratio to the quiet-host efficiency.  A best-of-N
+    over per-session RATIOS would be one-sidedly biased upward — a noise
+    spike on the 2c leg alone inflates that session's ratio and max()
+    selects exactly the inflated one (code-review r6).  Per-session ratios
+    still ship as evidence.  At least two sessions always run; while the
+    min-walls ratio misses the 0.8 contract bar, up to max_sessions run —
+    so a residual miss carries its own load evidence."""
     sessions: list[dict] = []
     for i in range(max_sessions):
         rec = {"load_before_2c": round(os.getloadavg()[0], 1)}
@@ -253,7 +263,9 @@ def _paired_scaling_sessions(corpus: str, max_sessions: int = 5) -> list[dict]:
         rec["sec_8c"] = round(t8, 3)
         rec["eff_2c_to_8c"] = round(t2 / (4 * t8), 3)
         sessions.append(rec)
-        if i >= 1 and max(s["eff_2c_to_8c"] for s in sessions) >= 0.8:
+        eff = (min(s["sec_2c"] for s in sessions)
+               / (4 * min(s["sec_8c"] for s in sessions)))
+        if i >= 1 and eff >= 0.8:
             break
     return sessions
 
@@ -267,35 +279,36 @@ def main() -> None:
     # separately with extra runs — it is the most noise-volatile on this box
     # (±25% at constant plans, BASELINE.md r3) and each run costs only ~7 s.
     sessions = _paired_scaling_sessions(corpus)
-    best = max(sessions, key=lambda s: s["eff_2c_to_8c"])
-    # secondary pair gets its OWN paired mini-session (8c back-to-back with
-    # 32c in one noise window — the same flaw-class fix as the primary pair;
-    # a reader can reproduce every published ratio from the published walls)
-    load_sec = round(os.getloadavg()[0], 1)
-    sec8b = _pipeline_subprocess("local[8]", corpus, runs=1)
-    sec32 = _pipeline_subprocess(f"local[{CPUS}]", corpus, runs=3)
+    sec2 = min(s["sec_2c"] for s in sessions)
+    sec8 = min(s["sec_8c"] for s in sessions)
     pipeline: dict = {"n_docs": n_docs, "repartition": REPARTITION}
-    # published per-level walls = the BEST-RATIO session's pair (internally
-    # consistent: sec_2c / (4 * sec_8c) reproduces the published primary
-    # ratio) + the secondary session's 32c
-    for cores, sec in ((2, best["sec_2c"]), (8, best["sec_8c"]),
-                       (CPUS, sec32)):
+    # published per-level walls = per-level mins across the paired sessions;
+    # the published primary ratio is EXACTLY sec_2c / (4 * sec_8c), so a
+    # reader reproduces it from the published walls
+    for cores, sec in ((2, sec2), (8, sec8)):
         pipeline[f"sec_{cores}c"] = round(sec, 3)
         pipeline[f"pages_per_sec_{cores}c"] = round(n_docs / sec, 1)
+    pipeline["scaling_efficiency_2c_to_8c"] = round(sec2 / (4 * sec8), 3)
+    pipeline["scaling_sessions"] = sessions
+    # secondary pair (only when the box offers more than 8 cores) gets its
+    # OWN back-to-back mini-session — with CPUS == 8 the publish keys would
+    # collide with the primary pair's sec_8c (code-review r6)
+    if CPUS > 8:
+        load_sec = round(os.getloadavg()[0], 1)
+        sec8b = _pipeline_subprocess("local[8]", corpus, runs=1)
+        sec32 = _pipeline_subprocess(f"local[{CPUS}]", corpus, runs=3)
+        pipeline[f"sec_{CPUS}c"] = round(sec32, 3)
+        pipeline[f"pages_per_sec_{CPUS}c"] = round(n_docs / sec32, 1)
+        pipeline["secondary_session"] = {
+            "load_before": load_sec, "sec_8c": round(sec8b, 3),
+            f"sec_{CPUS}c": round(sec32, 3)}
+        pipeline[f"scaling_efficiency_8c_to_{CPUS}c"] = round(
+            sec8b / ((CPUS / 8) * sec32), 3)
     # production config (shared parse via cache, plans/incremental.py) at full
     # parallelism — the deployment headline
     cached = _pipeline_subprocess(f"local[{CPUS}]", corpus, cache_parsed=True)
     pipeline[f"sec_{CPUS}c_prod_cached"] = round(cached, 3)
     pipeline[f"pages_per_sec_{CPUS}c_prod_cached"] = round(n_docs / cached, 1)
-    # every published ratio comes from ONE paired session (same noise
-    # window), never from walls measured in different windows
-    pipeline["scaling_efficiency_2c_to_8c"] = best["eff_2c_to_8c"]
-    pipeline["scaling_sessions"] = sessions
-    pipeline["secondary_session"] = {
-        "load_before": load_sec, "sec_8c": round(sec8b, 3),
-        f"sec_{CPUS}c": round(sec32, 3)}
-    eff_secondary = sec8b / ((CPUS / 8) * sec32)
-    pipeline[f"scaling_efficiency_8c_to_{CPUS}c"] = round(eff_secondary, 3)
 
     # --- skew evidence: p50/p99 task time with and without salting ---
     try:

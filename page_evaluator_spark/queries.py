@@ -2727,17 +2727,15 @@ def _corpus_df(spark):
     return corpus_to_spark_df(spark, gen_corpus(100, seed=42))
 
 
-def ocr_media_captions(spark, sf_dir):
-    """Interleaved-payload adjacency (r5; north_rule 'interleaved text +
-    media documents'): for every media span, the NEXT non-media span with
-    non-null text in document order is its caption candidate — the pairing
-    a multimodal training pipeline extracts for captioning/alt-text sets.
-    A forward ignore-nulls first_value over (offset, array position)
-    handles media runs (media, media, text → both medias share the text)
-    and duplicate offsets deterministically (ties keep array order, exactly
-    the golden oracle's stable sort).  Pure window + projection — one
-    shuffle on doc_id, no join."""
-    docs = _corpus_df(spark)
+def _caption_candidates(docs):
+    """Every span of the interleaved corpus with its caption candidate: the
+    NEXT non-media span with non-null text in document order — a forward
+    ignore-nulls first_value over (offset, array position), so media runs
+    share the following text (media, media, text → both medias get it) and
+    duplicate offsets tie-break on array position, exactly the golden
+    oracle's stable sort.  THE one definition of the adjacency rule —
+    ocr_media_captions and interleaved_datasheet both consume it
+    (code-review r6: two inlined copies would drift silently)."""
     from .operators.parse import MEDIA_KINDS
 
     sp = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
@@ -2750,7 +2748,18 @@ def ocr_media_captions(spark, sf_dir):
          .rowsBetween(1, Window.unboundedFollowing))
     cap = F.first(F.when(~F.col("kind").isin(*MEDIA_KINDS), F.col("text")),
                   ignorenulls=True).over(w)
-    return (sp.withColumn("cap", cap)
+    return sp.withColumn("cap", cap)
+
+
+def ocr_media_captions(spark, sf_dir):
+    """Interleaved-payload adjacency (r5; north_rule 'interleaved text +
+    media documents'): for every media span, its caption candidate under
+    the _caption_candidates rule — the pairing a multimodal training
+    pipeline extracts for captioning/alt-text sets.  Pure window +
+    projection — one shuffle on doc_id, no join."""
+    from .operators.parse import MEDIA_KINDS
+
+    return (_caption_candidates(_corpus_df(spark))
             .where(F.col("kind").isin(*MEDIA_KINDS))
             .select("doc_id",
                     F.col("span_offset").cast("int").alias("span_ord"),
@@ -2768,26 +2777,17 @@ def interleaved_datasheet(spark, sf_dir):
     text-table corpus_report and this row together are the datasheet a
     multimodal training corpus ships with.
 
-    Shape: one posexplode + the same forward first_value window the
-    captions query runs, folded into a single global agg (plus a 1-row
-    doc-count crossJoin — posexplode of a zero-span doc would silently
-    undercount n_docs).  Coverage rounding is explicit half-up fixed-point
-    on both sides (Python round() is banker's; Spark's differs on binary
+    Shape: the shared _caption_candidates frame (ONE definition of the
+    adjacency rule) folded into a single global agg, plus a 1-row doc-count
+    crossJoin — posexplode of a zero-span doc would silently undercount
+    n_docs.  Coverage rounding is explicit half-up fixed-point on both
+    sides (Python round() is banker's; Spark's differs on binary
     representation edges)."""
     from .operators.parse import MEDIA_KINDS
 
     docs = _corpus_df(spark)
-    sp = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
-          .select("doc_id", "pos",
-                  F.col("span.offset").alias("span_offset"),
-                  F.col("span.kind").alias("kind"),
-                  F.col("span.text").alias("text")))
-    w = (Window.partitionBy("doc_id").orderBy("span_offset", "pos")
-         .rowsBetween(1, Window.unboundedFollowing))
-    cap = F.first(F.when(~F.col("kind").isin(*MEDIA_KINDS), F.col("text")),
-                  ignorenulls=True).over(w)
     is_media = F.col("kind").isin(*MEDIA_KINDS)
-    agg = (sp.withColumn("cap", cap).agg(
+    agg = (_caption_candidates(docs).agg(
         F.count("*").alias("n_spans"),
         F.sum((~is_media).cast("long")).alias("n_text_spans"),
         F.sum(is_media.cast("long")).alias("n_media_spans"),

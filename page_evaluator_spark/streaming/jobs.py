@@ -505,22 +505,24 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
     # in-flight batches saw
     ref_bands = cat.read(idx_ref).select("ref_id", "band_key").persist()
     ref_bands.count()
-    import os as _os
+    from pyspark.errors import AnalysisException
 
-    has_files = _os.path.isdir(new_docs_dir) and any(
-        n.endswith(".parquet") for n in _os.listdir(new_docs_dir))
-    if not has_files:
-        # nothing has landed yet (or the producer dir does not exist):
-        # a clean no-op day — schema inference over an empty dir would
-        # crash before any checkpoint/index work (code-review r6)
+    try:
+        # schema inference doubles as the landed-data probe: it works on any
+        # filesystem / layout Spark can read (nested dirs, non-.parquet part
+        # names, hdfs/s3a URIs) — a local-fs suffix scan would silently skip
+        # real data on all of those (code-review r6)
+        schema = spark.read.parquet(new_docs_dir).schema
+        stream = spark.readStream.schema(schema).parquet(new_docs_dir)
+    except AnalysisException:
+        # nothing has landed yet (or the producer dir does not exist): a
+        # clean no-op day — the checkpoint is untouched, so the next run
+        # with real files processes everything
         ref_bands.unpersist()
         if not cat.exists(f"{out_root}/ingest_docs"):
             return {"processed": 0, "duplicates": 0, "survivors": 0,
                     "index_size": cat.read(idx_ref).count()}
         stream = None
-    else:
-        schema = spark.read.parquet(new_docs_dir).schema
-        stream = spark.readStream.schema(schema).parquet(new_docs_dir)
     keys = minhash_band_keys_expr(F.col("text"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

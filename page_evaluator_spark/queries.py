@@ -1956,6 +1956,97 @@ def curation_filter_audit(spark, sf_dir):
             .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
 
 
+def filter_ablation(spark, sf_dir):
+    """Filter-ablation matrix (r6): INDEPENDENT pass/fail flags for the four
+    curation filters (length, quality, language, exact-duplicate), cubed
+    into the full overlap lattice — the release-engineering view of how much
+    each filter removes ALONE and how the removals overlap.  The
+    first-match-wins `curation_filter_audit` undercounts overlap by
+    construction (a doc that is both short and low-quality only ever shows
+    as `too_short`); ablation is how pipelines actually tune thresholds.
+
+    Flag expressions are byte-identical to the audit's, so the two queries
+    attest the same thresholds.  Scale shape: the only corpus-sized work is
+    the flag projection plus the ONE duplicate-canonicalization shuffle the
+    audit already pays; the cube itself aggregates four booleans — partial
+    (map-side) aggregation collapses each task to ≤ 3^4 = 81 grouping rows
+    before the exchange, so the shuffle is O(tasks), not O(docs), at any
+    corpus size.  grouping() indicators disambiguate NULL-as-aggregated
+    from a genuinely NULL flag on both engines.
+
+    The output flag columns are cast BOOLEAN -> INT: a nullable boolean
+    round-trips through pandas as object-dtype None on Spark but float NaN
+    on DuckDB, which any pandas-based comparator (the driver's included)
+    sees as different values; nullable INT narrows to float64/NaN on BOTH
+    engines."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    quality = F.round(TS.quality_score(F.col("text")), 6)
+    canon = F.min("doc_id").over(
+        Window.partitionBy(F.md5(normalized_text(F.col("text")))))
+    flags = d.select(
+        (n_tok < 10).alias("f_short"),
+        (quality < 0.4).alias("f_quality"),
+        (~F.col("lang").isin("en", "de", "fr", "es")).alias("f_lang"),
+        (F.col("doc_id") != canon).alias("f_dup"),
+        n_tok.alias("n_tokens"))
+    cube = (flags.cube("f_short", "f_quality", "f_lang", "f_dup")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.grouping("f_short").cast("int").alias("g_short"),
+                 F.grouping("f_quality").cast("int").alias("g_quality"),
+                 F.grouping("f_lang").cast("int").alias("g_lang"),
+                 F.grouping("f_dup").cast("int").alias("g_dup")))
+    return cube.select(
+        *[F.col(c).cast("int").alias(c)
+          for c in ("f_short", "f_quality", "f_lang", "f_dup")],
+        "n_docs", "n_tokens", "g_short", "g_quality", "g_lang", "g_dup")
+
+
+_FILTER_ABLATION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS INT)
+           AS n_tokens,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_ws_tok,
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))))
+           AS canonical_id
+  FROM documents
+), flags AS (
+  SELECT n_tokens < 10 AS f_short,
+         round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
+               + 0.3 * least(n_ws_tok / 20.0, 1.0)
+               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
+                                     ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
+           < 0.4 AS f_quality,
+         lang NOT IN ('en', 'de', 'fr', 'es') AS f_lang,
+         doc_id <> canonical_id AS f_dup,
+         n_tokens
+  FROM base
+)
+SELECT CAST(f_short AS INT) AS f_short,
+       CAST(f_quality AS INT) AS f_quality,
+       CAST(f_lang AS INT) AS f_lang,
+       CAST(f_dup AS INT) AS f_dup,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(grouping(f_short) AS INT) AS g_short,
+       CAST(grouping(f_quality) AS INT) AS g_quality,
+       CAST(grouping(f_lang) AS INT) AS g_lang,
+       CAST(grouping(f_dup) AS INT) AS g_dup
+FROM flags
+GROUP BY CUBE (f_short, f_quality, f_lang, f_dup)
+"""
+
+
 def corpus_report(spark, sf_dir):
     """Corpus datasheet (r5): the one-row summary a training-data pipeline
     publishes with a release — sizes, source/language breadth, exact-dup
@@ -3325,6 +3416,9 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "events_props_json": "r2",
     "events_approx_percentiles": "rows-only by design (HLL/KLL sketches)",
     "events_approx_distinct": "rows-only by design (HLL/KLL sketches)",
+    "filter_ablation": "new r6 (pytest-oracle only; rotation candidate r7;"
+                       " sibling in window: curation_filter_audit attests"
+                       " the same flag expressions first-match-wins)",
 }
 
 EXTRA_QUERIES: dict[str, Query] = {
@@ -3363,6 +3457,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "events_props_json": events_props_json,
     "events_approx_percentiles": events_approx_percentiles,
     "events_approx_distinct": events_approx_distinct,
+    "filter_ablation": filter_ablation,
 }
 
 
@@ -3418,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,
+        "filter_ablation": _FILTER_ABLATION_SQL,
         "benchmark_decontaminate": _DECONTAM_SQL,
         "doc_boilerplate_strip": _BOILERPLATE_SQL,
         "doc_winnow_fp": _WINNOW_SQL,

@@ -38,7 +38,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("float64")  # int widths differ; compare numerically
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Spark surfaces SQL NULL as None, DuckDB as float nan inside
+            # object columns (e.g. nullable booleans); astype(str) would
+            # turn those into distinct "None"/"nan" strings.  Re-mask NA
+            # after the cast so both engines compare as missing.
+            na = df[c].isna()
+            df[c] = df[c].astype(str).mask(na)
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 

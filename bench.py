@@ -292,8 +292,10 @@ def main() -> None:
     pipeline["scaling_sessions"] = sessions
     # secondary pair (only when the box offers more than 8 cores) gets its
     # OWN back-to-back mini-session — with CPUS == 8 the publish keys would
-    # collide with the primary pair's sec_8c (code-review r6)
-    if CPUS > 8:
+    # collide with the primary pair's sec_8c, and on a PHYSICAL <=8-core host
+    # local[32] would just oversubscribe 4x and publish a misleading ratio,
+    # so the guard checks the real core count too (code-review r6, pass 3)
+    if CPUS > 8 and (os.cpu_count() or 0) > 8:
         load_sec = round(os.getloadavg()[0], 1)
         sec8b = _pipeline_subprocess("local[8]", corpus, runs=1)
         sec32 = _pipeline_subprocess(f"local[{CPUS}]", corpus, runs=3)

@@ -1931,27 +1931,43 @@ FROM enriched
 """
 
 
-def curation_filter_audit(spark, sf_dir):
-    """Composed curation filter chain with an audit column: first failing
-    stage (too_short → low_quality → lang → exact-duplicate) or NULL when
-    kept — the shape of a real corpus-cleaning pass, one scan + one window."""
+def _curation_flags(d):
+    """The ONE definition of the four curation-filter predicates (length,
+    quality, language, exact-duplicate), shared by `curation_filter_audit`
+    and `filter_ablation` so their "same thresholds" attestation is
+    structural, not a by-hand copy that could drift silently (code-review
+    r6 pass 3).  Returns doc_id, lang, n_tokens, quality plus the four
+    nullable boolean flags."""
     from pyspark.sql import Window
 
     from .operators.dedup import normalized_text
 
-    d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
-    quality = TS.quality_score(F.col("text"))
+    quality = F.round(TS.quality_score(F.col("text")), 6)
     canon = F.min("doc_id").over(
         Window.partitionBy(F.md5(normalized_text(F.col("text")))))
     staged = d.select("doc_id", "lang", n_tok.alias("n_tokens"),
-                      F.round(quality, 6).alias("quality"),
-                      canon.alias("canonical_id"))
-    reason = (F.when(F.col("n_tokens") < 10, "too_short")
-              .when(F.col("quality") < 0.4, "low_quality")
-              .when(~F.col("lang").isin("en", "de", "fr", "es"), "lang")
-              .when(F.col("doc_id") != F.col("canonical_id"), "duplicate"))
-    return (staged.withColumn("drop_reason", reason)
+                      quality.alias("quality"), canon.alias("canonical_id"))
+    return staged.select(
+        "doc_id", "lang", "n_tokens", "quality",
+        (F.col("n_tokens") < 10).alias("f_short"),
+        (F.col("quality") < 0.4).alias("f_quality"),
+        (~F.col("lang").isin("en", "de", "fr", "es")).alias("f_lang"),
+        (F.col("doc_id") != F.col("canonical_id")).alias("f_dup"))
+
+
+def curation_filter_audit(spark, sf_dir):
+    """Composed curation filter chain with an audit column: first failing
+    stage (too_short → low_quality → lang → exact-duplicate) or NULL when
+    kept — the shape of a real corpus-cleaning pass, one scan + one window.
+    Flag predicates come from `_curation_flags` (shared with
+    `filter_ablation`)."""
+    flags = _curation_flags(load(spark, sf_dir, "documents"))
+    reason = (F.when(F.col("f_short"), "too_short")
+              .when(F.col("f_quality"), "low_quality")
+              .when(F.col("f_lang"), "lang")
+              .when(F.col("f_dup"), "duplicate"))
+    return (flags.withColumn("drop_reason", reason)
             .withColumn("kept", F.col("drop_reason").isNull())
             .select("doc_id", "n_tokens", "quality", "drop_reason", "kept"))
 
@@ -1965,8 +1981,8 @@ def filter_ablation(spark, sf_dir):
     construction (a doc that is both short and low-quality only ever shows
     as `too_short`); ablation is how pipelines actually tune thresholds.
 
-    Flag expressions are byte-identical to the audit's, so the two queries
-    attest the same thresholds.  Scale shape: the only corpus-sized work is
+    Flag expressions come from the shared `_curation_flags` helper, so the
+    two queries attest the same thresholds by construction.  Scale shape: the only corpus-sized work is
     the flag projection plus the ONE duplicate-canonicalization shuffle the
     audit already pays; the cube itself aggregates four booleans — partial
     (map-side) aggregation collapses each task to ≤ 3^4 = 81 grouping rows
@@ -1979,21 +1995,7 @@ def filter_ablation(spark, sf_dir):
     on DuckDB, which any pandas-based comparator (the driver's included)
     sees as different values; nullable INT narrows to float64/NaN on BOTH
     engines."""
-    from pyspark.sql import Window
-
-    from .operators.dedup import normalized_text
-
-    d = load(spark, sf_dir, "documents")
-    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
-    quality = F.round(TS.quality_score(F.col("text")), 6)
-    canon = F.min("doc_id").over(
-        Window.partitionBy(F.md5(normalized_text(F.col("text")))))
-    flags = d.select(
-        (n_tok < 10).alias("f_short"),
-        (quality < 0.4).alias("f_quality"),
-        (~F.col("lang").isin("en", "de", "fr", "es")).alias("f_lang"),
-        (F.col("doc_id") != canon).alias("f_dup"),
-        n_tok.alias("n_tokens"))
+    flags = _curation_flags(load(spark, sf_dir, "documents"))
     cube = (flags.cube("f_short", "f_quality", "f_lang", "f_dup")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -2007,7 +2009,11 @@ def filter_ablation(spark, sf_dir):
         "n_docs", "n_tokens", "g_short", "g_quality", "g_lang", "g_dup")
 
 
-_FILTER_ABLATION_SQL = r"""
+# The ONE SQL definition of the curation-filter flag lattice, shared by the
+# audit and ablation twins exactly as _curation_flags is shared by their
+# Spark queries — a threshold edit lands in both twins or neither
+# (code-review r6 pass 3).
+_FILTER_FLAGS_CTE = r"""
 WITH base AS (
   SELECT doc_id, lang,
          CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS INT)
@@ -2020,18 +2026,25 @@ WITH base AS (
          min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))))
            AS canonical_id
   FROM documents
-), flags AS (
-  SELECT n_tokens < 10 AS f_short,
+), q AS (
+  SELECT doc_id, lang, n_tokens, canonical_id,
          round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
                + 0.3 * least(n_ws_tok / 20.0, 1.0)
                + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
                                      ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
-           < 0.4 AS f_quality,
-         lang NOT IN ('en', 'de', 'fr', 'es') AS f_lang,
-         doc_id <> canonical_id AS f_dup,
-         n_tokens
+           AS quality
   FROM base
+), flags AS (
+  SELECT doc_id, lang, n_tokens, quality, canonical_id,
+         n_tokens < 10 AS f_short,
+         quality < 0.4 AS f_quality,
+         lang NOT IN ('en', 'de', 'fr', 'es') AS f_lang,
+         doc_id <> canonical_id AS f_dup
+  FROM q
 )
+"""
+
+_FILTER_ABLATION_SQL = _FILTER_FLAGS_CTE + r"""
 SELECT CAST(f_short AS INT) AS f_short,
        CAST(f_quality AS INT) AS f_quality,
        CAST(f_lang AS INT) AS f_lang,
@@ -2318,38 +2331,17 @@ FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
 """
 
 
-_FILTER_AUDIT_SQL = r"""
-WITH base AS (
-  SELECT doc_id, lang, text,
-         CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS INT)
-           AS n_tokens,
-         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nonspace,
-         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
-         length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_ws_tok,
-         min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))))
-           AS canonical_id
-  FROM documents
-), q AS (
-  SELECT doc_id, lang, n_tokens, canonical_id,
-         round(0.5 * (CASE WHEN nonspace = 0 THEN 0.0 ELSE alpha / CAST(nonspace AS DOUBLE) END)
-               + 0.3 * least(n_ws_tok / 20.0, 1.0)
-               + 0.2 * (1.0 - least((CASE WHEN nonspace = 0 THEN 0.0
-                                     ELSE punct / CAST(nonspace AS DOUBLE) END) * 4, 1.0)), 6)
-           AS quality
-  FROM base
-)
+_FILTER_AUDIT_SQL = _FILTER_FLAGS_CTE + r"""
 SELECT doc_id, n_tokens, quality,
-       CASE WHEN n_tokens < 10 THEN 'too_short'
-            WHEN quality < 0.4 THEN 'low_quality'
-            WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
-            WHEN doc_id <> canonical_id THEN 'duplicate' END AS drop_reason,
-       (CASE WHEN n_tokens < 10 THEN 'too_short'
-             WHEN quality < 0.4 THEN 'low_quality'
-             WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
-             WHEN doc_id <> canonical_id THEN 'duplicate' END) IS NULL AS kept
-FROM q
+       CASE WHEN f_short THEN 'too_short'
+            WHEN f_quality THEN 'low_quality'
+            WHEN f_lang THEN 'lang'
+            WHEN f_dup THEN 'duplicate' END AS drop_reason,
+       (CASE WHEN f_short THEN 'too_short'
+             WHEN f_quality THEN 'low_quality'
+             WHEN f_lang THEN 'lang'
+             WHEN f_dup THEN 'duplicate' END) IS NULL AS kept
+FROM flags
 """
 
 

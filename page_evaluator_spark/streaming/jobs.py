@@ -514,7 +514,15 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
         # real data on all of those (code-review r6)
         schema = spark.read.parquet(new_docs_dir).schema
         stream = spark.readStream.schema(schema).parquet(new_docs_dir)
-    except AnalysisException:
+    except AnalysisException as e:
+        # Only the no-data-yet error classes are a clean no-op day; anything
+        # else (schema-merge conflicts, corrupt footers, duplicate-cased
+        # columns in REAL landed files) must surface, not read as "day ran
+        # clean" while the data is silently skipped (code-review r6, pass 3)
+        if (e.getErrorClass() or "") not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            ref_bands.unpersist()
+            raise
         # nothing has landed yet (or the producer dir does not exist): a
         # clean no-op day — the checkpoint is untouched, so the next run
         # with real files processes everything

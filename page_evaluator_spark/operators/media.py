@@ -170,3 +170,110 @@ def media_spans(docs: DataFrame) -> DataFrame:
     return (explode_docs(docs)
             .where(F.col("kind").isin(*MEDIA_KINDS))
             .select("doc_id", "media_ref", "kind"))
+
+
+def media_content_dedup(docs: DataFrame) -> DataFrame:
+    """Exact media-blob dedup across the interleaved corpus — the media
+    analogue of ``dedup.exact_duplicates``, and the op that pays for itself
+    first at 100 TB, where bytes are dominated by CDN-duplicated images
+    embedded in many pages.
+
+    In production the fingerprint is sha256 of the decoded object bytes
+    (computed next to the object store, never shuffled).  In this container
+    the decode is the deterministic fake (the ``_fake_decode`` doctrine
+    above): the trailing ``media_ref`` path segment stands in for the
+    object-store content id, which repeats across documents exactly like
+    CDN-duplicated media does, and its string length stands in for the
+    blob's byte length.  A real deployment replaces ONLY the two stand-in
+    expressions, not the plan.
+
+    Scale shape: ONE map-side-combined groupBy on the fixed-width 64-hex
+    fingerprint; the canonical first occurrence is a min over
+    (doc_id, media_ref) structs inside the SAME agg — no second pass, no
+    window, and raw media bytes never enter a shuffle.
+
+    Returns (content_sha, n_refs, n_docs, canonical_doc, canonical_ref,
+    byte_len, bytes_saved) — bytes_saved = (n_refs - 1) * byte_len, the
+    storage reclaimed by keeping one copy per fingerprint.
+    """
+    # trailing path segment; \z not $ (the $-anchor matches before a final
+    # line terminator — the r3 doctrine for every new Java-regex anchor)
+    content = F.regexp_extract("media_ref", r"([^/]+)\z", 1)
+    fingerprinted = media_spans(docs).select(
+        "doc_id", "media_ref",
+        F.sha2(content, 256).alias("content_sha"),
+        F.length(content).cast("long").alias("byte_len"))
+    agg = (fingerprinted
+           .groupBy("content_sha")
+           .agg(F.count("*").alias("n_refs"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "media_ref")).alias("canon"),
+                F.max("byte_len").alias("byte_len")))
+    return agg.select(
+        "content_sha",
+        F.col("n_refs").cast("bigint").alias("n_refs"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("canon.doc_id").alias("canonical_doc"),
+        F.col("canon.media_ref").alias("canonical_ref"),
+        "byte_len",
+        ((F.col("n_refs") - 1) * F.col("byte_len")).cast("bigint")
+        .alias("bytes_saved"))
+
+
+def pack_interleaved_sequences(docs: DataFrame, budget: int = 256,
+                               media_tokens: int = 64,
+                               n_shards: int = 16) -> DataFrame:
+    """Pack interleaved text+media documents into ~``budget``-token training
+    sequences — the multimodal twin of ``curation.pack_token_budget`` and
+    the last step before a Flamingo/MM1-style interleaved corpus ships.
+
+    Cost model: every non-media span's text is tokenized with
+    PORTABLE_TOKEN_RE (production would tokenize the EXTRACTED text; the
+    raw span text is the deterministic contract here), and every media span
+    costs a fixed ``media_tokens`` — the vision-encoder patch budget an
+    image occupies in the training sequence.
+
+    Scale shape: per-doc costs are a pure codegen'd projection over the
+    spans array (F.aggregate / F.filter — no explode, no shuffle); packing
+    reuses the SHARDED prefix-sum idiom of pack_token_budget (a single
+    global ordered window would serialize the corpus through one task).
+    A bin may overflow by one doc — exact greedy packing is inherently
+    sequential; the per-shard prefix sum is the scalable contract.
+
+    Returns per-sequence (seq_id, n_docs, text_tokens, media_spans,
+    total_cost).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import PORTABLE_TOKEN_RE
+    from .curation import doc_hash_bucket
+    from .parse import MEDIA_KINDS
+    from .skew import ensure_min_parallelism
+
+    zero = F.lit(0).cast("long")
+    text_toks = F.aggregate(
+        F.col("spans"), zero,
+        lambda acc, s: acc + F.when(
+            (~s["kind"].isin(*MEDIA_KINDS)) & s["text"].isNotNull(),
+            F.size(F.regexp_extract_all(s["text"], F.lit(PORTABLE_TOKEN_RE), 0))
+            .cast("long")).otherwise(zero))
+    n_media = F.size(F.filter(
+        F.col("spans"), lambda s: s["kind"].isin(*MEDIA_KINDS))).cast("long")
+    costed = (ensure_min_parallelism(docs)
+              .select("doc_id",
+                      doc_hash_bucket(F.col("doc_id"), n_shards).alias("shard"),
+                      text_toks.alias("text_tokens"),
+                      n_media.alias("n_media"))
+              .withColumn("cost", F.col("text_tokens")
+                          + F.lit(media_tokens) * F.col("n_media")))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = costed.withColumn(
+        "seq_id",
+        F.col("shard") * F.lit(1 << 40)
+        + F.floor((F.sum("cost").over(w) - F.col("cost")) / budget))
+    return (packed.groupBy("seq_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("text_tokens").cast("bigint").alias("text_tokens"),
+                 F.sum("n_media").cast("bigint").alias("media_spans"),
+                 F.sum("cost").cast("bigint").alias("total_cost")))

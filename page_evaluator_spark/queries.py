@@ -2893,6 +2893,33 @@ def interleaved_datasheet(spark, sf_dir):
                     "captioned_media", cov.alias("caption_coverage")))
 
 
+def media_content_dedup(spark, sf_dir):
+    """Exact media-blob dedup over the interleaved corpus (r6): group media
+    spans by content fingerprint, count references and distinct documents,
+    keep the canonical first occurrence, and account the storage reclaimed.
+    See operators/media.py::media_content_dedup for the fingerprint
+    stand-in doctrine and the 100 TB shape (one fixed-width hash groupBy).
+    Oracle: full SQL re-derivation in DuckDB over the spans_input golden
+    (an INPUT dump, not a golden output)."""
+    from .operators.media import media_content_dedup as op
+
+    return op(_corpus_df(spark)).orderBy(F.desc("n_refs"), "content_sha")
+
+
+def interleaved_pack(spark, sf_dir):
+    """Multimodal sequence packing (r6): pack interleaved text+media docs
+    into ~256-token training sequences where media spans cost a fixed
+    64-token vision-encoder patch budget.  See operators/media.py::
+    pack_interleaved_sequences for the cost model and the sharded
+    prefix-sum shape.  Oracle: full SQL re-derivation in DuckDB over the
+    spans_input golden."""
+    from .operators.media import pack_interleaved_sequences
+
+    return (pack_interleaved_sequences(_corpus_df(spark), budget=256,
+                                       media_tokens=64, n_shards=16)
+            .orderBy("seq_id"))
+
+
 def ocr_page_scores(spark, sf_dir):
     from .plans.pipeline import evaluate_documents
 
@@ -3228,6 +3255,69 @@ _OCR_WORST_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/ocr_worst_pages.parquet'"
 _OCR_CAPTIONS_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/media_captions.parquet'"
 _DATASHEET_SQL = f"SELECT * FROM '{_GOLDEN_DIR}/interleaved_datasheet.parquet'"
 
+# r6 multimodal twins: FULL SQL re-derivations over the spans_input golden
+# (the raw exploded corpus, an INPUT dump written by make_goldens.py with
+# explode_outer semantics) — independent computations, not golden outputs.
+# row_number over (doc_id, media_ref) reproduces Spark's min-struct
+# canonical pick (field-wise lexicographic).  The token regex spells
+# Java's \s class [ \t\n\x0B\f\r] explicitly (RE2 \s omits \x0B — r5
+# doctrine); shard/seq arithmetic mirrors doc_hash_bucket and the
+# pack window exactly (floor() then cast — CAST of DOUBLE rounds in
+# DuckDB but truncates in Spark).
+_MEDIA_DEDUP_SQL = f"""
+WITH f AS (
+  SELECT doc_id, media_ref,
+         sha256(regexp_extract(media_ref, '([^/]+)$', 1)) AS content_sha,
+         CAST(length(regexp_extract(media_ref, '([^/]+)$', 1)) AS BIGINT) AS byte_len
+  FROM '{_GOLDEN_DIR}/spans_input.parquet'
+  WHERE kind IN ('image', 'table', 'figure')
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY content_sha
+                               ORDER BY doc_id, media_ref) AS rn
+  FROM f
+)
+SELECT content_sha,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       max(CASE WHEN rn = 1 THEN media_ref END) AS canonical_ref,
+       max(byte_len) AS byte_len,
+       CAST((count(*) - 1) * max(byte_len) AS BIGINT) AS bytes_saved
+FROM r GROUP BY content_sha
+"""
+
+_INTERLEAVED_PACK_SQL = rf"""
+WITH cost AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN kind NOT IN ('image','table','figure')
+                                 AND text IS NOT NULL
+               THEN len(regexp_extract_all(text,
+                    '[\p{{L}}]+|[\p{{N}}]+|[^\p{{L}}\p{{N}} \t\n\x0B\f\r]')) END), 0)
+              AS BIGINT) AS text_tokens,
+         CAST(coalesce(sum(CASE WHEN kind IN ('image','table','figure')
+                           THEN 1 END), 0) AS BIGINT) AS n_media
+  FROM '{_GOLDEN_DIR}/spans_input.parquet' GROUP BY doc_id
+), packed AS (
+  SELECT doc_id, text_tokens, n_media,
+         text_tokens + 64 * n_media AS cost,
+         ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 16 AS shard
+  FROM cost
+), seq AS (
+  SELECT text_tokens, n_media, cost,
+         shard * 1099511627776
+         + CAST(floor((sum(cost) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - cost) / 256.0) AS BIGINT)
+           AS seq_id
+  FROM packed
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+       CAST(sum(n_media) AS BIGINT) AS media_spans,
+       CAST(sum(cost) AS BIGINT) AS total_cost
+FROM seq GROUP BY seq_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Structured Streaming (AvailableNow batch-equivalent with SQL oracle)
@@ -3411,6 +3501,13 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "filter_ablation": "new r6 (pytest-oracle only; rotation candidate r7;"
                        " sibling in window: curation_filter_audit attests"
                        " the same flag expressions first-match-wins)",
+    "media_content_dedup": "new r6 (pytest-oracle only; rotation candidate"
+                           " r7 — multimodal axis; full SQL twin over the"
+                           " spans_input golden)",
+    "interleaved_pack": "new r6 (pytest-oracle only; rotation candidate r7"
+                        " — multimodal axis; sibling in window:"
+                        " pack_token_budget uses the same sharded"
+                        " prefix-sum idiom)",
 }
 
 EXTRA_QUERIES: dict[str, Query] = {
@@ -3450,6 +3547,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "events_approx_percentiles": events_approx_percentiles,
     "events_approx_distinct": events_approx_distinct,
     "filter_ablation": filter_ablation,
+    "media_content_dedup": media_content_dedup,
+    "interleaved_pack": interleaved_pack,
 }
 
 
@@ -3506,6 +3605,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scan": _PII_SQL,
         "curation_filter_audit": _FILTER_AUDIT_SQL,
         "filter_ablation": _FILTER_ABLATION_SQL,
+        "media_content_dedup": _MEDIA_DEDUP_SQL,
+        "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "benchmark_decontaminate": _DECONTAM_SQL,
         "doc_boilerplate_strip": _BOILERPLATE_SQL,
         "doc_winnow_fp": _WINNOW_SQL,

@@ -22,7 +22,7 @@ GOLDEN = REPO / "fixtures" / "golden"
 FILES = ["ocr_page_scores.parquet", "ocr_spans_out.parquet",
          "ocr_quarantine.parquet", "ocr_worst_pages.parquet",
          "media_spans.parquet", "media_captions.parquet",
-         "interleaved_datasheet.parquet"]
+         "interleaved_datasheet.parquet", "spans_input.parquet"]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

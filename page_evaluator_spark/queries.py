@@ -2060,6 +2060,108 @@ GROUP BY CUBE (f_short, f_quality, f_lang, f_dup)
 """
 
 
+def corpus_snapshot_diff(spark, sf_dir):
+    """Release-to-release corpus diff (r6): classify every doc_id across two
+    snapshots as added / removed / changed / unchanged — the audit a corpus
+    release pipeline publishes between versions.  The "previous" snapshot
+    is derived deterministically from the current table (md5-bucket 0 of 20
+    absent from prev → those docs are `added`; bucket 1 texts perturbed in
+    prev → `changed`; bucket 2 contributes synthetic retired negative ids →
+    `removed`), so the query needs no second input table at any SF.
+
+    Scale shape: both sides reduce to (doc_id, md5) BEFORE the join — the
+    full-outer join shuffles 8-byte ids + 32-byte fingerprints, never text;
+    at 100 TB both snapshots would be bucketed by doc_id and the join is
+    co-partitioned with zero extra shuffle."""
+    from .operators.curation import doc_hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    bucket = doc_hash_bucket(F.col("doc_id"), 20)
+    prev = (d.where(bucket != 0)
+            .select("doc_id",
+                    F.md5(F.when(bucket == 1,
+                                 F.concat(F.col("text"), F.lit(" legacy")))
+                          .otherwise(F.col("text"))).alias("p_md5")))
+    retired = (d.where(bucket == 2)
+               .select((-F.col("doc_id") - 1).alias("doc_id"),
+                       F.lit("retired").alias("p_md5")))
+    curr = d.select("doc_id", F.md5("text").alias("c_md5"))
+    j = prev.unionByName(retired).join(curr, "doc_id", "full_outer")
+    change = (F.when(F.col("p_md5").isNull(), "added")
+              .when(F.col("c_md5").isNull(), "removed")
+              .when(F.col("p_md5") != F.col("c_md5"), "changed")
+              .otherwise("unchanged"))
+    return j.select("doc_id", change.alias("change_type"))
+
+
+_SNAPSHOT_DIFF_SQL = r"""
+WITH bucketed AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20 AS b
+  FROM documents
+), prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN b = 1 THEN text || ' legacy' ELSE text END) AS p_md5
+  FROM bucketed WHERE b <> 0
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, 'retired' AS p_md5 FROM bucketed WHERE b = 2
+), curr AS (
+  SELECT doc_id, md5(text) AS c_md5 FROM documents
+)
+SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
+       CASE WHEN p_md5 IS NULL THEN 'added'
+            WHEN c_md5 IS NULL THEN 'removed'
+            WHEN p_md5 <> c_md5 THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM prev FULL OUTER JOIN curr USING (doc_id)
+"""
+
+
+def embedding_int8_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding table (r6): per-dimension
+    min/max ranges → 0..255 codes — the vector-store compression default
+    (4× smaller than float32; recall stays within a point for cosine/L2 at
+    small k).  The IVF-PQ stack (operators/similarity.py) is the heavier
+    sibling; scalar quantization is what stores apply FIRST.
+
+    Scale shape: one posexplode, one |dims|-row stats agg broadcast back,
+    then a pure projection — no corpus-sized shuffle beyond the explode's
+    repartition.  Codes are exact integers on both engines: float→double
+    is exact, the (val−mn)/(mx−mn)*255 chain is evaluated in the same IEEE
+    order, and floor(x+0.5) avoids banker's-rounding drift (the corpus
+    datasheet doctrine).  Returns exploded (vec_id, pos, code) rows so the
+    driver hash compares scalars, not arrays."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = (e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+          .withColumn("val", F.col("val").cast("double")))
+    stats = ex.groupBy("pos").agg(F.min("val").alias("mn"),
+                                  F.max("val").alias("mx"))
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(F.floor((F.col("val") - F.col("mn"))
+                               / (F.col("mx") - F.col("mn")) * 255
+                               + F.lit(0.5)))).cast("int")
+    return (ex.join(F.broadcast(stats), "pos")
+            .select("vec_id", F.col("pos").cast("int").alias("pos"),
+                    code.alias("code")))
+
+
+_INT8_QUANT_SQL = r"""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), stats AS (
+  SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos
+)
+SELECT ex.vec_id, ex.pos,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE floor((ex.val - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+            END AS INT) AS code
+FROM ex JOIN stats s USING (pos)
+"""
+
+
 def corpus_report(spark, sf_dir):
     """Corpus datasheet (r5): the one-row summary a training-data pipeline
     publishes with a release — sizes, source/language breadth, exact-dup
@@ -3508,6 +3610,12 @@ EXTRA_LAST_GREEN: dict[str, str] = {
                         " — multimodal axis; sibling in window:"
                         " pack_token_budget uses the same sharded"
                         " prefix-sum idiom)",
+    "corpus_snapshot_diff": "new r6 (pytest-oracle only; rotation candidate"
+                            " r7 — release-engineering audit, md5-only"
+                            " full-outer join)",
+    "embedding_int8_quantize": "new r6 (pytest-oracle only; rotation"
+                               " candidate r7 — scalar-quantization sibling"
+                               " of the windowed IVF-PQ stack)",
 }
 
 EXTRA_QUERIES: dict[str, Query] = {
@@ -3549,6 +3657,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "filter_ablation": filter_ablation,
     "media_content_dedup": media_content_dedup,
     "interleaved_pack": interleaved_pack,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
+    "embedding_int8_quantize": embedding_int8_quantize,
 }
 
 
@@ -3607,6 +3717,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_ablation": _FILTER_ABLATION_SQL,
         "media_content_dedup": _MEDIA_DEDUP_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
+        "corpus_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "embedding_int8_quantize": _INT8_QUANT_SQL,
         "benchmark_decontaminate": _DECONTAM_SQL,
         "doc_boilerplate_strip": _BOILERPLATE_SQL,
         "doc_winnow_fp": _WINNOW_SQL,

@@ -73,6 +73,11 @@ EXTRA_HEADLINE = [
                                # interleaved_datasheet is deliberately NOT
                                # timed — r5 review: fixed-size bench entries
                                # are meaningless)
+    "corpus_snapshot_diff",    # r6, sf-scaled (documents)
+    "embedding_int8_quantize",  # r6, sf-scaled (embeddings); the
+                                # fixed-corpus media_content_dedup /
+                                # interleaved_pack / filter_ablation are
+                                # NOT timed, same policy as above
 ]
 
 

@@ -374,22 +374,42 @@ def calibrate_lm_cutoffs(docs: DataFrame, head_frac: float = 1 / 3,
             math.nextafter(float(row["q"][1]), math.inf))
 
 
+def assign_packed_seq_ids(costed: DataFrame, budget: int,
+                          cost_col: str) -> DataFrame:
+    """THE sharded prefix-sum bin assignment (shared by pack_token_budget and
+    media.pack_interleaved_sequences — hold the idiom in ONE place so the
+    window definition, the 2^40 bins-per-shard constant, and the
+    overflow-by-one contract cannot diverge between the text and multimodal
+    packers or their DuckDB twins).
+
+    Input must carry (doc_id, shard, <cost_col>); within a shard, stable
+    order (doc_id), prefix-sum of cost, local bin = (cumsum - cost) div
+    budget; seq_id = shard * 2^40 + local bin (2^40 bins/shard ≈ 5×10^14
+    tokens per shard at budget 512 — no collision at any realistic scale;
+    raise n_shards, not the multiplier, beyond that).  A bin may overflow by
+    at most one doc: every bin's total cost < budget + (its last doc's
+    cost), because the bin's start offset ≥ bin·budget and its last doc
+    starts below (bin+1)·budget — exact greedy packing is inherently
+    sequential; the per-shard prefix sum is the scalable contract."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return costed.withColumn(
+        "seq_id",
+        F.col("shard") * F.lit(1 << 40)
+        + F.floor((F.sum(cost_col).over(w) - F.col(cost_col)) / budget))
+
+
 def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Assign docs to training-sequence bins of ~`budget` tokens.
 
     SHARDED packing (a global ordered window would be one task at 100 TB):
-    docs hash into n_shards independent streams; within a shard, stable order
-    (doc_id), prefix-sum of regex token counts, local bin = (cumsum -
-    n_tokens) div budget; seq_id = shard * 2^40 + local bin (2^40 bins/shard
-    ≈ 5×10^14 tokens per shard at budget 512 — no collision at any realistic
-    scale; raise n_shards, not the multiplier, beyond that).  A bin may
-    overflow by one doc (exact greedy packing is inherently sequential — the
-    per-shard prefix-sum is the scalable contract).
-    Returns (seq_id, n_docs, total_tokens).
+    docs hash into n_shards independent streams; the bin math (and the
+    overflow-by-one contract) lives in assign_packed_seq_ids, shared with
+    the multimodal packer.  Returns (seq_id, n_docs, total_tokens).
     """
-    from pyspark.sql import Window
-
     from .skew import ensure_min_parallelism
 
     n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PORTABLE_TOKEN_RE), 0))
@@ -397,12 +417,7 @@ def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
             .select(F.col(id_col).alias("doc_id"),
                     doc_hash_bucket(F.col(id_col), n_shards).alias("shard"),
                     n_tok.cast("long").alias("n_tokens")))
-    w = (Window.partitionBy("shard").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = toks.withColumn(
-        "seq_id",
-        F.col("shard") * F.lit(1 << 40)
-        + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget))
+    packed = assign_packed_seq_ids(toks, budget, "n_tokens")
     return (packed.groupBy("seq_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))

@@ -234,19 +234,17 @@ def pack_interleaved_sequences(docs: DataFrame, budget: int = 256,
     image occupies in the training sequence.
 
     Scale shape: per-doc costs are a pure codegen'd projection over the
-    spans array (F.aggregate / F.filter — no explode, no shuffle); packing
-    reuses the SHARDED prefix-sum idiom of pack_token_budget (a single
-    global ordered window would serialize the corpus through one task).
-    A bin may overflow by one doc — exact greedy packing is inherently
-    sequential; the per-shard prefix sum is the scalable contract.
+    spans array (F.aggregate / F.filter — no explode, no shuffle); bin
+    assignment is curation.assign_packed_seq_ids — the ONE sharded
+    prefix-sum definition shared with pack_token_budget (a single global
+    ordered window would serialize the corpus through one task; the
+    overflow-by-one contract is documented there).
 
     Returns per-sequence (seq_id, n_docs, text_tokens, media_spans,
     total_cost).
     """
-    from pyspark.sql import Window
-
     from ..functions.textstats import PORTABLE_TOKEN_RE
-    from .curation import doc_hash_bucket
+    from .curation import assign_packed_seq_ids, doc_hash_bucket
     from .parse import MEDIA_KINDS
     from .skew import ensure_min_parallelism
 
@@ -266,12 +264,7 @@ def pack_interleaved_sequences(docs: DataFrame, budget: int = 256,
                       n_media.alias("n_media"))
               .withColumn("cost", F.col("text_tokens")
                           + F.lit(media_tokens) * F.col("n_media")))
-    w = (Window.partitionBy("shard").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = costed.withColumn(
-        "seq_id",
-        F.col("shard") * F.lit(1 << 40)
-        + F.floor((F.sum("cost").over(w) - F.col("cost")) / budget))
+    packed = assign_packed_seq_ids(costed, budget, "cost")
     return (packed.groupBy("seq_id")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("text_tokens").cast("bigint").alias("text_tokens"),

@@ -2124,9 +2124,14 @@ def embedding_int8_quantize(spark, sf_dir):
     small k).  The IVF-PQ stack (operators/similarity.py) is the heavier
     sibling; scalar quantization is what stores apply FIRST.
 
-    Scale shape: one posexplode, one |dims|-row stats agg broadcast back,
-    then a pure projection — no corpus-sized shuffle beyond the explode's
-    repartition.  Codes are exact integers on both engines: float→double
+    Scale shape: TWO passes over the table, each with its own posexplode —
+    a stats pass collapsing to a |dims|-row min/max agg, and an encode pass
+    that broadcast-joins those stats back.  Deliberate: persisting the
+    exploded corpus to make it one pass is exactly the cache you cannot
+    afford at 100 TB, and a per-dim window would shuffle every exploded row
+    into |dims| partitions; re-scanning (with column pruning to the vector
+    column) is the cheap leg.  No corpus-sized shuffle either pass.  Codes
+    are exact integers on both engines: float→double
     is exact, the (val−mn)/(mx−mn)*255 chain is evaluated in the same IEEE
     order, and floor(x+0.5) avoids banker's-rounding drift (the corpus
     datasheet doctrine).  Returns exploded (vec_id, pos, code) rows so the

@@ -497,6 +497,24 @@ def test_interleaved_pack_conserves_totals_and_respects_budget(spark):
     assert sum(r["media_spans"] for r in out) == exp_media
     for r in out:
         assert r["total_cost"] == r["text_tokens"] + media_tokens * r["media_spans"]
+    # The budget bound itself (assign_packed_seq_ids contract): a bin's start
+    # offset is >= bin*budget and its last doc starts below (bin+1)*budget,
+    # so total_cost < budget + (last doc's cost) <= budget + max doc cost.
+    # A degenerate seq_id formula (whole shard in one bin) breaks this while
+    # conserving every total above.
+    doc_cost = {
+        r["doc_id"]: sum(len(tok.findall(s["text"]))
+                         for s in r["spans"]
+                         if s["kind"] not in MEDIA_KINDS and s["text"] is not None)
+        + media_tokens * sum(1 for s in r["spans"] if s["kind"] in MEDIA_KINDS)
+        for r in rows}
+    max_cost = max(doc_cost.values())
+    assert any(v > 0 for v in doc_cost.values())
+    for r in out:
+        assert r["total_cost"] < budget + max_cost, (
+            r["seq_id"], r["total_cost"], budget, max_cost)
+    # and the corpus genuinely spreads over multiple bins at this budget
+    assert len(out) >= sum(doc_cost.values()) // (budget + max_cost)
 
 
 def test_media_content_dedup_recount(spark):

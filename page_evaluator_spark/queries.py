@@ -2167,6 +2167,70 @@ FROM ex JOIN stats s USING (pos)
 """
 
 
+def eval_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test split assignment keyed by CONTENT hash
+    (r6): the split bucket is md5 of the text itself (NULL → ''), not of
+    doc_id, so byte-identical duplicates land in the SAME split by
+    construction — dedup-survivor choice can never move shared content
+    across the train/eval boundary (the C4/GPT-3 eval-leakage lesson;
+    `decontaminate_against_eval` covers the near-dup side).  80/10/10 via
+    the shared doc_hash_bucket rule: bucket < 80 → train, < 90 → val,
+    else test.
+
+    Output is the per-(source, split) release accounting: docs, regex
+    tokens, distinct content classes, and the bit_xor 48-bit-md5 doc-id
+    checksum so two engines prove the same DOC SET, not just the same
+    counts.  Scale shape: the split column is a pure projection (free at
+    any corpus size); one agg collapses to |sources|×3 rows.  Nothing
+    shuffles but the hash-keyed partial aggregates."""
+    from .operators.curation import doc_hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    bucket = doc_hash_bucket(text, 100)
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test"))
+    n_tok = F.size(F.regexp_extract_all(text, F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                     16, 10).cast("long")
+    return (d.select(F.col("source"), split.alias("split"),
+                     n_tok.cast("long").alias("n_tok"),
+                     F.md5(text).alias("c_md5"), doc_key.alias("doc_key"))
+            .groupBy("source", "split")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.countDistinct("c_md5").cast("bigint").alias("n_contents"),
+                 F.expr("bit_xor(doc_key)").cast("long").alias("doc_check"))
+            .orderBy("source", "split"))
+
+
+_EVAL_SPLIT_SQL = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+              '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
+           AS n_tok,
+         md5(coalesce(text, '')) AS c_md5,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS doc_key
+  FROM (SELECT *, ('0x' || substr(md5(CAST(coalesce(text, '') AS VARCHAR)),
+                   1, 8))::BIGINT % 100 AS b
+        FROM documents)
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT c_md5) AS BIGINT) AS n_contents,
+       CAST(bit_xor(doc_key) AS BIGINT) AS doc_check
+FROM t
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 def corpus_report(spark, sf_dir):
     """Corpus datasheet (r5): the one-row summary a training-data pipeline
     publishes with a release — sizes, source/language breadth, exact-dup
@@ -3621,6 +3685,10 @@ EXTRA_LAST_GREEN: dict[str, str] = {
     "embedding_int8_quantize": "new r6 (pytest-oracle only; rotation"
                                " candidate r7 — scalar-quantization sibling"
                                " of the windowed IVF-PQ stack)",
+    "eval_split_assignment": "new r6 (pytest-oracle only; rotation candidate"
+                             " r7 — content-hash train/val/test split:"
+                             " exact dups cannot straddle the eval"
+                             " boundary)",
 }
 
 EXTRA_QUERIES: dict[str, Query] = {
@@ -3664,6 +3732,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "interleaved_pack": interleaved_pack,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "eval_split_assignment": eval_split_assignment,
 }
 
 
@@ -3724,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "embedding_int8_quantize": _INT8_QUANT_SQL,
+        "eval_split_assignment": _EVAL_SPLIT_SQL,
         "benchmark_decontaminate": _DECONTAM_SQL,
         "doc_boilerplate_strip": _BOILERPLATE_SQL,
         "doc_winnow_fp": _WINNOW_SQL,

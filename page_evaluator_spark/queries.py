@@ -2174,7 +2174,8 @@ def eval_split_assignment(spark, sf_dir):
     construction — dedup-survivor choice can never move shared content
     across the train/eval boundary (the C4/GPT-3 eval-leakage lesson;
     `decontaminate_against_eval` covers the near-dup side).  80/10/10 via
-    the shared doc_hash_bucket rule: bucket < 80 → train, < 90 → val,
+    doc_hash_bucket's first-32-bits-mod-100 rule applied to the content
+    fingerprint itself (hashed once): bucket < 80 → train, < 90 → val,
     else test.
 
     Output is the per-(source, split) release accounting: docs, regex
@@ -2183,20 +2184,21 @@ def eval_split_assignment(spark, sf_dir):
     counts.  Scale shape: the split column is a pure projection (free at
     any corpus size); one agg collapses to |sources|×3 rows.  Nothing
     shuffles but the hash-keyed partial aggregates."""
-    from .operators.curation import doc_hash_bucket
-
     d = load(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    bucket = doc_hash_bucket(text, 100)
-    split = (F.when(bucket < 80, "train")
-             .when(bucket < 90, "val")
-             .otherwise("test"))
     n_tok = F.size(F.regexp_extract_all(text, F.lit(TS.PORTABLE_TOKEN_RE), 0))
     doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
                      16, 10).cast("long")
-    return (d.select(F.col("source"), split.alias("split"),
-                     n_tok.cast("long").alias("n_tok"),
-                     F.md5(text).alias("c_md5"), doc_key.alias("doc_key"))
+    hashed = d.select(F.col("source"), F.md5(text).alias("c_md5"),
+                      n_tok.cast("long").alias("n_tok"),
+                      doc_key.alias("doc_key"))
+    # the split key IS the content fingerprint: bucket from c_md5, computed
+    # once (same first-32-bits-mod-n rule as curation.doc_hash_bucket)
+    bucket = F.conv(F.substring("c_md5", 1, 8), 16, 10).cast("long") % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test"))
+    return (hashed.withColumn("split", split)
             .groupBy("source", "split")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("n_tokens"),
@@ -2206,19 +2208,21 @@ def eval_split_assignment(spark, sf_dir):
 
 
 _EVAL_SPLIT_SQL = r"""
-WITH t AS (
+WITH hashed AS (
   SELECT source,
-         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-              ELSE 'test' END AS split,
+         md5(coalesce(text, '')) AS c_md5,
          CAST(len(regexp_extract_all(coalesce(text, ''),
               '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\x0B\f\r]')) AS BIGINT)
            AS n_tok,
-         md5(coalesce(text, '')) AS c_md5,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
            AS doc_key
-  FROM (SELECT *, ('0x' || substr(md5(CAST(coalesce(text, '') AS VARCHAR)),
-                   1, 8))::BIGINT % 100 AS b
-        FROM documents)
+  FROM documents
+), t AS (
+  SELECT source, n_tok, c_md5, doc_key,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(c_md5, 1, 8))::BIGINT % 100 AS b
+        FROM hashed)
 )
 SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,

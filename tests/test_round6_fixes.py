@@ -514,7 +514,42 @@ def test_interleaved_pack_conserves_totals_and_respects_budget(spark):
         assert r["total_cost"] < budget + max_cost, (
             r["seq_id"], r["total_cost"], budget, max_cost)
     # and the corpus genuinely spreads over multiple bins at this budget
-    assert len(out) >= sum(doc_cost.values()) // (budget + max_cost)
+    # (explicit floor — the per-bin bound alone would be vacuous if the
+    # fixture ever shrank to a single bin's worth of cost)
+    assert sum(doc_cost.values()) > 2 * (budget + max_cost)
+    assert len(out) > 2
+
+
+def test_eval_split_is_keyed_by_content_not_doc_id(spark):
+    """The leakage contract itself: byte-identical texts land in the SAME
+    split regardless of doc_id or source — a doc_id-keyed bucket (the
+    obvious 'fix' that reintroduces C4-style eval leakage) passes engine
+    parity but fails this."""
+    import pandas as pd
+
+    from page_evaluator_spark import queries as Q
+
+    texts = ["the quick brown fox %d" % i for i in range(40)]
+    rows = []
+    for i, t in enumerate(texts):
+        # every text appears under TWO different doc_ids and sources
+        rows.append((i, t, "en", "src_a", len(t)))
+        rows.append((10_000 + i, t, "en", "src_b", len(t)))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = Q.EXTRA_QUERIES["eval_split_assignment"](spark, d).collect()
+    # per (source, split) the content-class count must be IDENTICAL across
+    # the two sources: same texts → same buckets → same split, so any
+    # straddle would desynchronize the per-source breakdowns
+    by = {(r["source"], r["split"]): (r["n_docs"], r["n_contents"]) for r in out}
+    for split in {s for (_, s) in by}:
+        assert by.get(("src_a", split)) == by.get(("src_b", split)), (split, by)
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    # and the corpus actually exercises ≥2 splits at n=40 distinct texts
+    assert len({s for (_, s) in by}) >= 2
 
 
 def test_media_content_dedup_recount(spark):

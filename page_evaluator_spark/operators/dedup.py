@@ -100,9 +100,25 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text", id_col: str 
     """
     from .skew import ensure_min_parallelism
 
+    # token_shingles minus the array_sort: the min-aggregate is order-blind,
+    # so sorting each per-doc shingle set before the explode is pure cost
+    # here (array_distinct stays — duplicate shingles would re-pay the 16
+    # md5 evaluations).  Bit-identical signatures (pinned by the oracle
+    # twins); token_shingles keeps the sorted form for the set-semantics
+    # consumers (Jaccard, contamination).
+    toks = F.regexp_extract_all(normalized_text(F.col(text_col)),
+                                F.lit(PORTABLE_TOKEN_RE), 0)
+    k = F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(0))
+    windows = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)))
+    shingle_set = F.array_distinct(
+        F.when(F.size(toks) >= shingle_n, windows).otherwise(
+            F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+            .otherwise(F.array().cast("array<string>"))))
     sh = (ensure_min_parallelism(docs)
           .select(F.col(id_col).alias("doc_id"),
-                  F.explode(token_shingles(F.col(text_col), shingle_n)).alias("shingle")))
+                  F.explode(shingle_set).alias("shingle")))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)

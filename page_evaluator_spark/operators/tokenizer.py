@@ -86,6 +86,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         pair, total = counted[0]["pair"], int(counted[0]["total"])
         a, b = pair.split(" ")
         merges.append((rank, pair, a + b, total))
+        if rank == n_merges - 1:
+            break  # the post-final-merge vocabulary is never read — skip
+            # rewriting and checkpointing it (one round's worth of jobs)
         vocab = _truncate_lineage(vocab.select(
             F.replace(F.col("syms"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
             .alias("syms"), "cnt"))

@@ -420,17 +420,21 @@ def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
     candidate spans' text ever shuffles."""
     spans = _span_windows(docs, width, text_col, id_col)
     counts = _span_hash_counts(spans, min_docs)
+    # The tie-inclusive threshold (the top_k-th (n_docs, n_occ)) used to be
+    # a driver collect, which made every run TWO actions that each executed
+    # the counting aggregation.  As a 1-row aggregate broadcast-joined back
+    # onto counts it lives in the SAME action, and the two counts instances
+    # share their shuffle stages (AQE exchange reuse) — the window explode
+    # and the counting agg now run once per query execution.  An empty
+    # corpus gives an empty threshold row, hence an empty candidate set and
+    # an empty (same-schema) result — the old explicit branch, subsumed.
     thr = (counts.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc())
            .limit(top_k)
            .agg(F.min(F.struct("n_docs", "n_occ")).alias("m"))
-           .collect()[0]["m"])
-    if thr is None:  # no span reaches min_docs anywhere
-        return docs.sparkSession.createDataFrame(
-            [], "span: string, n_docs: long, n_occ: long")
+           .where(F.col("m").isNotNull()))
     cand = F.broadcast(
-        counts.where(F.struct("n_docs", "n_occ")
-                     >= F.struct(F.lit(thr["n_docs"]).cast("long").alias("n_docs"),
-                                 F.lit(thr["n_occ"]).cast("long").alias("n_occ")))
+        counts.crossJoin(F.broadcast(thr))
+        .where(F.struct("n_docs", "n_occ") >= F.col("m"))
         .select("h"))
     exact = spans.join(cand, F.xxhash64("span") == F.col("h"), "left_semi")
     return (exact.groupBy("span")

@@ -412,7 +412,7 @@ def pack_token_budget(docs: DataFrame, budget: int = 512, n_shards: int = 16,
     """
     from .skew import ensure_min_parallelism
 
-    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count(F.col(text_col), F.lit(PORTABLE_TOKEN_RE))
     toks = (ensure_min_parallelism(docs)
             .select(F.col(id_col).alias("doc_id"),
                     doc_hash_bucket(F.col(id_col), n_shards).alias("shard"),
@@ -439,8 +439,7 @@ def source_mixture_targets(docs: DataFrame, alpha_num: int = 1, alpha_den: int =
     DuckDB twin's list_reduce fold.  Only α ∈ {1/2, 1} keeps the power exact
     (sqrt is correctly rounded; pow() is not) — guarded."""
     _mixture_alpha_guard(alpha_num, alpha_den)
-    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
-                                        F.lit(PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count(F.col(text_col), F.lit(PORTABLE_TOKEN_RE))
     rows = (docs.groupBy(F.col(source_col).alias("source"))
             .agg(F.coalesce(F.sum(n_tok.cast("long")), F.lit(0))
                  .alias("toks"))
@@ -507,8 +506,7 @@ def _mixture_base(docs: DataFrame, text_col: str, source_col: str,
     per-source running total."""
     from .skew import ensure_min_parallelism
 
-    n_tok = F.size(F.regexp_extract_all(F.col(text_col),
-                                        F.lit(PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count(F.col(text_col), F.lit(PORTABLE_TOKEN_RE))
     return (ensure_min_parallelism(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(source_col).alias("source"),

@@ -253,7 +253,7 @@ def pack_interleaved_sequences(docs: DataFrame, budget: int = 256,
         F.col("spans"), zero,
         lambda acc, s: acc + F.when(
             (~s["kind"].isin(*MEDIA_KINDS)) & s["text"].isNotNull(),
-            F.size(F.regexp_extract_all(s["text"], F.lit(PORTABLE_TOKEN_RE), 0))
+            F.regexp_count(s["text"], F.lit(PORTABLE_TOKEN_RE))
             .cast("long")).otherwise(zero))
     n_media = F.size(F.filter(
         F.col("spans"), lambda s: s["kind"].isin(*MEDIA_KINDS))).cast("long")

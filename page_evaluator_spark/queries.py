@@ -1899,11 +1899,11 @@ def doc_pii_scan(spark, sf_dir):
                  F.col("doc_id").cast("string"),
                  F.lit(" tel +1 (555) 010-"), F.col("doc_id").cast("string")),
     ).otherwise(F.col("text"))
-    emails = F.size(F.regexp_extract_all(
-        enriched, F.lit(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"), 0))
-    urls = F.size(F.regexp_extract_all(enriched, F.lit(r"https?://[^ ]+"), 0))
-    phones = F.size(F.regexp_extract_all(
-        enriched, F.lit(r"\+?[0-9][0-9()\- ]{7,}[0-9]"), 0))
+    emails = F.regexp_count(
+        enriched, F.lit(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"))
+    urls = F.regexp_count(enriched, F.lit(r"https?://[^ ]+"))
+    phones = F.regexp_count(
+        enriched, F.lit(r"\+?[0-9][0-9()\- ]{7,}[0-9]"))
     return d.select(
         "doc_id",
         emails.alias("n_emails"), urls.alias("n_urls"), phones.alias("n_phones"),
@@ -1942,7 +1942,7 @@ def _curation_flags(d):
 
     from .operators.dedup import normalized_text
 
-    n_tok = F.size(F.regexp_extract_all("text", F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count("text", F.lit(TS.PORTABLE_TOKEN_RE))
     quality = F.round(TS.quality_score(F.col("text")), 6)
     canon = F.min("doc_id").over(
         Window.partitionBy(F.md5(normalized_text(F.col("text")))))
@@ -2186,7 +2186,7 @@ def eval_split_assignment(spark, sf_dir):
     shuffles but the hash-keyed partial aggregates."""
     d = load(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    n_tok = F.size(F.regexp_extract_all(text, F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count(text, F.lit(TS.PORTABLE_TOKEN_RE))
     doc_key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
                      16, 10).cast("long")
     hashed = d.select(F.col("source"), F.md5(text).alias("c_md5"),
@@ -2255,7 +2255,7 @@ def corpus_report(spark, sf_dir):
     the percentiles both derive from the value-count table."""
     d = load(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    n_tok = F.size(F.regexp_extract_all(text, F.lit(TS.PORTABLE_TOKEN_RE), 0))
+    n_tok = F.regexp_count(text, F.lit(TS.PORTABLE_TOKEN_RE))
     q_fx = F.floor(TS.quality_score(text) * F.lit(1e6) + F.lit(0.5)) \
         .cast("long")
     totals = d.select("source", "lang", q_fx.alias("q_fx"),
@@ -3145,7 +3145,7 @@ def html_main_content(spark, sf_dir):
     return d.select(
         "doc_id",
         F.length(main).alias("main_len"),
-        F.size(F.regexp_extract_all(main, F.lit(TS.PORTABLE_TOKEN_RE), 0)).alias("n_tokens"),
+        F.regexp_count(main, F.lit(TS.PORTABLE_TOKEN_RE)).alias("n_tokens"),
         (~main.contains("Home") & ~main.contains("Terms") & ~main.contains("boiler"))
         .alias("boilerplate_free"))
 

@@ -30,7 +30,11 @@ def _nonspace_count(text: Column) -> Column:
     identical value (each \\s char is exactly one match), no rewritten-string
     allocation (guide §1.2 per-task work).  The SAME expression is shared by
     alpha_ratio / punct_ratio / quality_score so whole-stage codegen's
-    subexpression elimination evaluates the regex once per row."""
+    subexpression elimination evaluates the regex once per row.
+    (r7 note: length(translate(text, WS, '')) was tried and measured 30%
+    SLOWER at 10× scale — UTF8String.translate round-trips through
+    java.lang.String with per-char boxed map lookups; the \\s match count
+    stays the cheaper form despite materializing the match array.)"""
     return F.length(text) - F.regexp_count(text, F.lit(r"\s"))
 
 
@@ -71,9 +75,17 @@ def punct_ratio(text: Column) -> Column:
 
 
 def alpha_ratio(text: Column) -> Column:
-    """Letter chars / non-space chars (0.0 for empty)."""
+    """Letter chars / non-space chars (0.0 for empty).
+
+    Letters counted as nonspace − count([^\\p{L}\\s]): identical integer
+    (letters = all chars − whitespace − non-letter-non-whitespace), but the
+    counted class is the RARE one (digits/punctuation), so the match array
+    regexp_count materializes stays tiny — the punct_ratio trick (r5) applied
+    to the alpha side, which still rewrote the whole string per row via
+    regexp_replace (the replace-then-length shape measured 10× slower on the
+    punct class)."""
     nonspace = _nonspace_count(text)
-    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha = nonspace - F.regexp_count(text, F.lit(r"[^\p{L} \t\n\x0B\f\r]"))
     return F.when(nonspace == 0, F.lit(0.0)) \
             .otherwise(alpha.cast("double") / nonspace.cast("double"))
 

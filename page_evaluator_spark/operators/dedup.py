@@ -48,8 +48,17 @@ def token_shingles(col: Column, n: int = 3) -> Column:
 
     Built natively: tokenize → sliding windows via transform over an index
     sequence → concat_ws.  Sorted-distinct so the set is canonical.
+
+    Tokenized from lower(text) DIRECTLY: the token classes never contain
+    whitespace, so collapsing \\s+ runs and trimming before tokenization
+    cannot change the token stream (Java's contextual Σ→ς lowering sees a
+    non-letter on either side of any whitespace run both ways) — the
+    normalized_text rewrite was a full-string regexp_replace allocation per
+    document for an identical result (r7, guide §1.2; −22% on the MinHash
+    signature pass at 10× sf0.1, token-stream equality pinned by
+    tests/test_round7_fixes.py incl. Greek-sigma adversaries).
     """
-    toks = F.regexp_extract_all(normalized_text(col), F.lit(PORTABLE_TOKEN_RE), 0)
+    toks = F.regexp_extract_all(F.lower(col), F.lit(PORTABLE_TOKEN_RE), 0)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     windows = F.transform(
         F.sequence(F.lit(0), k - 1),
@@ -105,8 +114,10 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text", id_col: str 
     # here (array_distinct stays — duplicate shingles would re-pay the 16
     # md5 evaluations).  Bit-identical signatures (pinned by the oracle
     # twins); token_shingles keeps the sorted form for the set-semantics
-    # consumers (Jaccard, contamination).
-    toks = F.regexp_extract_all(normalized_text(F.col(text_col)),
+    # consumers (Jaccard, contamination).  Tokenized from lower(text)
+    # directly — see token_shingles for why the normalized_text collapse is
+    # a no-op on the token stream (r7: −22% on this pass at 10× sf0.1).
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
                                 F.lit(PORTABLE_TOKEN_RE), 0)
     k = F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(0))
     windows = F.transform(
@@ -311,7 +322,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                            lambda h: F.conv(F.substring(h, start, 8), 16, 10).cast("long"))
 
     docs = ensure_min_parallelism(docs)
-    toks = F.regexp_extract_all(normalized_text(F.col(text_col)),
+    # lower(text) directly — the normalized_text collapse is a no-op on the
+    # token stream (see token_shingles, r7)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
                                 F.lit(PORTABLE_TOKEN_RE), 0)
     return (docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
             .where(F.size("_toks") > 0)
@@ -368,10 +381,18 @@ def _span_windows(docs: DataFrame, width: int, text_col: str,
     staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
               .repartition("doc_id"))  # exchange = materialization boundary
     n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
-    wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-                      lambda i: F.substring(F.col("t"), i, width))
+    # explode the POSITION range and slice per exploded row instead of
+    # materializing the whole array of width-char window strings per doc
+    # before the explode — the windows overlap, so that array is width× the
+    # document's own size (guide §1.2 per-task work: the old shape allocated
+    # ~24 bytes-per-char of garbage per doc; the Generate now emits int
+    # positions and one substring per output row inside the same codegen
+    # stage)
     return (staged.where(n_wins > 0)
-            .select("doc_id", F.explode(wins).alias("span")))
+            .select("doc_id", "t",
+                    F.explode(F.sequence(F.lit(1), n_wins)).alias("i"))
+            .select("doc_id",
+                    F.col("t").substr(F.col("i"), F.lit(width)).alias("span")))
 
 
 def _span_hash_counts(spans: DataFrame, min_docs: int) -> DataFrame:
@@ -418,16 +439,25 @@ def repeated_substrings(docs: DataFrame, width: int = 24, min_docs: int = 2,
     could only inflate the phase-1 threshold, never corrupt the recount;
     at 2^-64 pair probability it is not worth a verify stage).  Only the
     candidate spans' text ever shuffles."""
+    from .curation import _truncate_lineage
+
     spans = _span_windows(docs, width, text_col, id_col)
-    counts = _span_hash_counts(spans, min_docs)
-    # The tie-inclusive threshold (the top_k-th (n_docs, n_occ)) used to be
-    # a driver collect, which made every run TWO actions that each executed
-    # the counting aggregation.  As a 1-row aggregate broadcast-joined back
-    # onto counts it lives in the SAME action, and the two counts instances
-    # share their shuffle stages (AQE exchange reuse) — the window explode
-    # and the counting agg now run once per query execution.  An empty
-    # corpus gives an empty threshold row, hence an empty candidate set and
-    # an empty (same-schema) result — the old explicit branch, subsumed.
+    # The FILTERED hash counts (only spans in >= min_docs docs survive — a
+    # tiny fraction of the window stream) are materialized ONCE: the r6
+    # shape re-derived this aggregate as two separate plan subtrees (the
+    # tie threshold and the candidate filter), and AQE exchange reuse only
+    # shared the shuffle BELOW the aggregate — the O(total chars) window
+    # explode and the two-level counting agg each ran twice per execution
+    # (visible as duplicate Generate+HashAggregate chains in the r6 plan).
+    # One lineage truncation of the small filtered table feeds both
+    # consumers; the only remaining O(chars) work is the single counting
+    # pass plus the narrow recount below (guide §5: materialise when
+    # recomputing costs more).
+    counts = _truncate_lineage(_span_hash_counts(spans, min_docs))
+    # The tie-inclusive threshold (the top_k-th (n_docs, n_occ)) stays a
+    # 1-row aggregate broadcast-joined back onto counts.  An empty corpus
+    # gives an empty threshold row, hence an empty candidate set and an
+    # empty (same-schema) result.
     thr = (counts.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc())
            .limit(top_k)
            .agg(F.min(F.struct("n_docs", "n_occ")).alias("m"))
@@ -473,23 +503,23 @@ def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
               .repartition("doc_id"))  # materialize the collapse once
     n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
 
-    def win_key(s):
-        return F.struct(F.xxhash64(s).alias("h1"),
-                        F.xxhash64(F.lit(0x9E3779B9), s).alias("h2"))
-
-    wins = F.transform(F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-                       lambda i: win_key(F.substring(F.col("t"), i, width)))
     # ONE corpus-wide exchange: the window stream is hashed by (h1, h2)
     # once; the per-(window, doc) agg (grouping is a superset of the
     # partitioning), the per-window agg, and the removal join (same key) are
     # all satisfied by that partitioning, so the explode runs once and no
     # further 25M-row shuffle exists.  The shuffle still carries only the
     # 16-byte double hash + (doc_id, pos) — never text (the r6 pinned
-    # contract).
+    # contract).  The explode emits POSITIONS and the two hashes are
+    # computed per exploded row from one shared substring (codegen CSE) —
+    # the old shape materialized the whole array of (h1, h2) structs per
+    # doc before exploding it (guide §1.2: pure allocation).
+    win = F.col("t").substr(F.col("pos"), F.lit(width))
     occ = (staged.where(n_wins > 0)
-           .select("doc_id", F.posexplode(wins).alias("p0", "h"))
-           .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"),
-                   F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
+           .select("doc_id", "t",
+                   F.explode(F.sequence(F.lit(1), n_wins)).alias("pos"))
+           .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                   F.xxhash64(win).alias("h1"),
+                   F.xxhash64(F.lit(0x9E3779B9), win).alias("h2"))
            .repartition("h1", "h2"))
     # The dup aggregation must stay HASH-aggregable end to end: the original
     # one-shot `countDistinct(doc_id), min(struct(doc_id, pos))` compiled to

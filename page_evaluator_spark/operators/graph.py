@@ -39,6 +39,17 @@ from pyspark.sql import functions as F
 
 PR_FXP = 1 << 40
 
+# Distinct-edge count at or below which the recurrence runs driver-side (a
+# dimension-sized collect — the |sources|²-bounded copy graphs this engine
+# feeds PageRank are ≤ a few hundred edges; a 10-round distributed loop over
+# 20 nodes is ~30 jobs of pure scheduling overhead).  Parameterised for
+# cluster deployments; 4096 edges ≈ 150 KB collected, the same dimension-
+# collect class as the mixture shard stats (≤ |sources|×256 rows).
+import os as _os
+
+_DRIVER_EDGE_LIMIT = int(_os.environ.get("PAGEEVAL_PR_DRIVER_EDGE_LIMIT",
+                                         "4096"))
+
 
 def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                  iters: int = 10, damping_pct: int = 85,
@@ -61,31 +72,45 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
-    from pyspark.sql import Window
 
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
-    # Loop-invariant (src, dst, deg) staged ONCE behind ONE exchange: the
+    # Loop-invariant ADJACENCY LIST staged ONCE behind ONE exchange: the
     # repartition by src satisfies ClusteredDistribution for BOTH the
     # (src, dst) dedup (equal pairs share a src, hence a partition) and the
-    # degree window, so distinct → deg attaches with no further shuffle and
-    # no join (the window count over distinct pairs IS groupBy(src).count).
-    # The old shape paid three edge-list exchanges (join, distinct,
-    # repartition), checkpointed the relation twice, and re-joined
-    # edges⋈degrees inside every round — re-shuffling the 100 TB-scale
-    # relation 10× for a loop-invariant result (measured 10.5 s → 5.0 s at
-    # sf1.0 for this staging alone).  Checkpoint preserves the src
-    # partitioning, so the non-broadcast rank join needs no edge-side
-    # exchange per round.
+    # per-src grouping, so distinct → collect_list attaches with no further
+    # shuffle; deg is size(dsts), no window needed.  Versus the r6 row-per-
+    # edge staging (src, dst, deg): the checkpointed relation shrinks to
+    # |src| rows, each round's broadcast-hash probe runs once per SOURCE
+    # instead of once per EDGE, and the per-edge contribution is a Generate
+    # over the array in the same codegen stage — measured 17.1 s → 12.0 s
+    # end-to-end at 10× sf0.1 (5.9 M edges), bit-identical mass.  Skew note:
+    # a hub source's out-edges become one array row (~4 MB per million
+    # edges) — the standard adjacency-list representation; beyond ~10⁷
+    # out-edges per node, split hub rows before calling this operator.
     ed = _truncate_lineage(
         e.repartition(F.col("src")).dropDuplicates(["src", "dst"])
-        .withColumn("deg", F.count("*").over(Window.partitionBy("src"))))
+        .groupBy("src").agg(F.collect_list("dst").alias("dsts")))
+    # Dimension-sized graphs (e.g. the |sources|²-bounded copy graph of
+    # curation_source_prior — 20 nodes) pay ~30 driver-scheduled jobs in the
+    # distributed loop, all fixed overhead.  The staged edge relation is
+    # already materialized, so ONE cheap count decides: below the (env-
+    # overridable) bound the exact integer recurrence runs on collected
+    # (src, dst, deg) rows — the same dimension-sized-collect class as the
+    # BPE merge rows and IVF centroid seeds — and the result is re-created
+    # as a DataFrame with the IDENTICAL final projection.  Bit-equality of
+    # the two paths is pinned by tests/test_round7_fixes.py.
+    n_edges = (ed.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0)))
+               .collect()[0][0])
+    if n_edges <= _DRIVER_EDGE_LIMIT:
+        return _pagerank_int_driver(ed, iters, damping_pct,
+                                    redistribute_dangling)
     # nodes carry the LOOP-INVARIANT dangling flag (no out-edges) so the
     # redistribute mode reads the per-round dangling mass off the rank table
     # with a filter+sum instead of re-running an anti-join every round
     nodes = _truncate_lineage(
         ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node"))).distinct()
+        .union(ed.select(F.explode("dsts").alias("node"))).distinct()
         .join(ed.select(F.col("src").alias("node")).distinct()
               .withColumn("_dang", F.lit(False)), "node", "left")
         .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang")))
@@ -100,6 +125,10 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     # to scan(ed) → BHJ → partial agg → one |nodes|-row exchange.  The
     # threshold is node-count-derived (scale-adaptive, guide §3.1) — beyond
     # it the loop falls back to the co-partitioned shuffle join.
+    # (r7 note: a union-seeded single-aggregate round — contributions UNION a
+    # zero-seed per node, one groupBy — was also tried and measured
+    # indistinguishable from the join form under interleaved A/B; the join
+    # form stays as the smaller change.)
     broadcast_ranks = n <= 2_000_000
     ranks = nodes.withColumn("rank_i", F.lit(base).cast("long"))
     for _ in range(iters):
@@ -107,11 +136,11 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
         if broadcast_ranks:
             rank_src = F.broadcast(rank_src)
         contrib = (ed.join(rank_src, "src")
-                   .select("dst", F.expr("rank_i div deg").alias("c"))
-                   .groupBy("dst").agg(F.sum("c").alias("s")))
+                   .select(F.expr("rank_i div size(dsts)").alias("c"),
+                           F.explode("dsts").alias("node"))
+                   .groupBy("node").agg(F.sum("c").alias("s")))
         extra = F.lit(0).cast("long")
-        ranks_next = nodes.join(contrib.withColumnRenamed("dst", "node"),
-                                "node", "left")
+        ranks_next = nodes.join(contrib, "node", "left")
         if redistribute_dangling:
             # total mass on out-degree-0 nodes: filter the flag column the
             # rank table already carries, summed to ONE long row
@@ -130,3 +159,43 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks.select("node", "rank_i",
                         F.round(F.col("rank_i").cast("double") / PR_FXP, 9)
                         .alias("rank"))
+
+
+def _pagerank_int_driver(ed: DataFrame, iters: int, damping_pct: int,
+                         redistribute_dangling: bool) -> DataFrame:
+    """The same integer recurrence over a COLLECTED dimension-sized
+    (src, dsts) adjacency list: Python ints and // reproduce the BIGINT div
+    arithmetic exactly (all masses are non-negative), and the final
+    rank_i → rank projection is the same Spark expression, so both paths
+    are bit-identical row-for-row."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = ed.sparkSession
+    schema = StructType([StructField("node", ed.schema["src"].dataType, True),
+                         StructField("rank_i", LongType(), True)])
+    adj = {r["src"]: r["dsts"] for r in ed.collect()}
+    srcs = set(adj)
+    nodes = sorted(srcs | {d for ds in adj.values() for d in ds})
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], schema) \
+            .select("node", "rank_i", F.lit(0.0).alias("rank"))
+    base = PR_FXP // n
+    teleport = (PR_FXP * (100 - damping_pct)) // (100 * n)
+    rank = dict.fromkeys(nodes, base)
+    for _ in range(iters):
+        extra = 0
+        if redistribute_dangling:
+            dm = sum(rank[v] for v in nodes if v not in srcs)
+            extra = dm * damping_pct // (100 * n)
+        s = dict.fromkeys(nodes, 0)
+        for v, ds in adj.items():
+            c = rank[v] // len(ds)
+            for d in ds:
+                s[d] += c
+        rank = {v: teleport + s[v] * damping_pct // 100 + extra
+                for v in nodes}
+    out = spark.createDataFrame([(v, rank[v]) for v in nodes], schema)
+    return out.select("node", "rank_i",
+                      F.round(F.col("rank_i").cast("double") / PR_FXP, 9)
+                      .alias("rank"))

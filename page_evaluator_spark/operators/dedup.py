@@ -373,21 +373,27 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 def _span_windows(docs: DataFrame, width: int, text_col: str,
                   id_col: str) -> DataFrame:
-    """(doc_id, span): every width-char window of the normalized text.  The
-    normalized text is materialized behind an exchange first (the Catalyst
-    nested-array recompute trap: inlined, the normalization regex would
-    re-run per window — measured 100x on winnow_fingerprints)."""
+    """(doc_id, span): every width-char window of the normalized text.
+
+    The explode emits the POSITION range and slices per exploded row — the
+    r6 shape materialized the whole array of width-char window strings per
+    doc before exploding it (overlapping windows ⇒ that array is width× the
+    document's own size of allocation, guide §1.2).  With the Generate
+    between the normalization projection and the per-row substr, the
+    normalization regex is structurally evaluated once per DOC row, so the
+    Catalyst nested-array recompute trap (inlined into a transform lambda it
+    re-ran per window — measured 100× on winnow_fingerprints) cannot bite
+    and the r6 full-text repartition("doc_id") materialization barrier is
+    GONE: no corpus-text exchange remains anywhere in this operator (pinned
+    equal-time with/without the barrier at 10× sf0.1 on equal parallelism).
+    ensure_min_parallelism only round-robins the raw rows when the scan
+    yielded too few splits — a no-op at real scale."""
+    from .skew import ensure_min_parallelism
+
     t = normalized_text(F.col(text_col))
-    staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
-              .repartition("doc_id"))  # exchange = materialization boundary
+    staged = (ensure_min_parallelism(docs)
+              .select(F.col(id_col).alias("doc_id"), t.alias("t")))
     n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
-    # explode the POSITION range and slice per exploded row instead of
-    # materializing the whole array of width-char window strings per doc
-    # before the explode — the windows overlap, so that array is width× the
-    # document's own size (guide §1.2 per-task work: the old shape allocated
-    # ~24 bytes-per-char of garbage per doc; the Generate now emits int
-    # positions and one substring per output row inside the same codegen
-    # stage)
     return (staged.where(n_wins > 0)
             .select("doc_id", "t",
                     F.explode(F.sequence(F.lit(1), n_wins)).alias("i"))
@@ -498,9 +504,16 @@ def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
     the md5-keyed exact_dedup_groups); a single 64-bit key was judged too
     weak for a path that REWRITES corpus text (~10^14 windows at the
     100 TB design point → ~10^8 expected 64-bit collisions)."""
+    from .skew import ensure_min_parallelism
+
     t = ws_collapsed(F.col(text_col))
-    staged = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
-              .repartition("doc_id"))  # materialize the collapse once
+    # no materialization barrier needed: the position explode keeps the
+    # collapse regex per-DOC (see _span_windows); the round-robin fires only
+    # on too-few scan splits.  The r6 full-text repartition("doc_id") is
+    # gone — the ONLY corpus-wide exchange left in this operator is the
+    # 16-byte (h1, h2) repartition below.
+    staged = (ensure_min_parallelism(docs)
+              .select(F.col(id_col).alias("doc_id"), t.alias("t")))
     n_wins = F.greatest(F.length("t") - F.lit(width - 1), F.lit(0))
 
     # ONE corpus-wide exchange: the window stream is hashed by (h1, h2)

@@ -64,9 +64,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     Returns [(rank, pair "A B", merged "AB", frequency)] — the merge table a
     tokenizer ships.  Deterministic (integer counts, lexicographic ties).
     """
-    from .curation import _truncate_lineage
+    def _truncate_vocab(df: DataFrame) -> DataFrame:
+        # Reliable checkpoint when a dir is configured (cluster-safe), else a
+        # LAZY localCheckpoint: the per-round best-pair collect is the next
+        # action anyway, so it materializes the truncation in the same job —
+        # the r6 eager form ran a separate materialization job per round
+        # (~7% of training wall at 10× sf0.1; equality pinned in the A/B).
+        sc = df.sparkSession.sparkContext
+        return (df.checkpoint() if sc.getCheckpointDir() is not None
+                else df.localCheckpoint(eager=False))
 
-    vocab = _truncate_lineage(
+    vocab = _truncate_vocab(
         word_vocab(docs, text_col).select(_to_symbols(F.col("word")).alias("syms"),
                                           "cnt"))
     merges: list[tuple[int, str, str, int]] = []
@@ -89,7 +97,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         if rank == n_merges - 1:
             break  # the post-final-merge vocabulary is never read — skip
             # rewriting and checkpointing it (one round's worth of jobs)
-        vocab = _truncate_lineage(vocab.select(
+        vocab = _truncate_vocab(vocab.select(
             F.replace(F.col("syms"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
             .alias("syms"), "cnt"))
     return merges

@@ -2072,26 +2072,48 @@ def corpus_snapshot_diff(spark, sf_dir):
     Scale shape: both sides reduce to (doc_id, md5) BEFORE the join — the
     full-outer join shuffles 8-byte ids + 32-byte fingerprints, never text;
     at 100 TB both snapshots would be bucketed by doc_id and the join is
-    co-partitioned with zero extra shuffle."""
+    co-partitioned with zero extra shuffle.
+
+    r7: the full-outer join is replaced by ONE scan + ONE aggregate.  Both
+    join sides key doc_id uniquely (curr ids are table keys; prev ids are
+    those same keys, retired ids are negative), so FULL OUTER JOIN on
+    doc_id ≡ grouping the union of both sides' rows by doc_id and taking
+    the one non-null hash per side.  Each doc emits its ≤3 side-rows from a
+    single projection (the prev-side hash of a bucket≠1 doc IS md5(text) —
+    shared by codegen CSE, where the r6 three-subtree shape re-scanned the
+    text column three times and md5'd it twice), and the one exchange
+    carries ~50-byte hash rows.  2 scans + SMJ → 1 scan + 1 hash agg."""
     from .operators.curation import doc_hash_bucket
 
     d = load(spark, sf_dir, "documents")
     bucket = doc_hash_bucket(F.col("doc_id"), 20)
-    prev = (d.where(bucket != 0)
-            .select("doc_id",
-                    F.md5(F.when(bucket == 1,
-                                 F.concat(F.col("text"), F.lit(" legacy")))
-                          .otherwise(F.col("text"))).alias("p_md5")))
-    retired = (d.where(bucket == 2)
-               .select((-F.col("doc_id") - 1).alias("doc_id"),
-                       F.lit("retired").alias("p_md5")))
-    curr = d.select("doc_id", F.md5("text").alias("c_md5"))
-    j = prev.unionByName(retired).join(curr, "doc_id", "full_outer")
+    c_md5 = F.md5("text")
+    p_md5 = F.when(bucket == 1,
+                   F.md5(F.concat(F.col("text"), F.lit(" legacy")))) \
+        .otherwise(c_md5)
+    null_s = F.lit(None).cast("string")
+    entry = "struct<doc_id:bigint,p_md5:string,c_md5:string>"
+    entries = F.array(
+        F.when(bucket != 0,
+               F.struct(F.col("doc_id"), p_md5.alias("p_md5"),
+                        null_s.alias("c_md5")).cast(entry)),
+        F.when(bucket == 2,
+               F.struct((-F.col("doc_id") - 1).alias("doc_id"),
+                        F.lit("retired").alias("p_md5"),
+                        null_s.alias("c_md5")).cast(entry)),
+        F.struct(F.col("doc_id"), null_s.alias("p_md5"),
+                 c_md5.alias("c_md5")).cast(entry))
+    sides = (d.select(F.explode(entries).alias("e"))
+             .where(F.col("e").isNotNull())
+             .select("e.doc_id", "e.p_md5", "e.c_md5"))
+    merged = (sides.groupBy("doc_id")
+              .agg(F.max("p_md5").alias("p_md5"),
+                   F.max("c_md5").alias("c_md5")))
     change = (F.when(F.col("p_md5").isNull(), "added")
               .when(F.col("c_md5").isNull(), "removed")
               .when(F.col("p_md5") != F.col("c_md5"), "changed")
               .otherwise("unchanged"))
-    return j.select("doc_id", change.alias("change_type"))
+    return merged.select("doc_id", change.alias("change_type"))
 
 
 _SNAPSHOT_DIFF_SQL = r"""

@@ -578,6 +578,15 @@ def exact_substring_clean(docs: DataFrame, width: int = 24, min_docs: int = 2,
     into intervals — and a removal pass cuts those intervals out of the
     text, keeping the canonical first occurrence corpus-wide.
 
+    Keep-one caveat (ADVICE r6): the canonical occurrence is chosen
+    independently PER width-char WINDOW (min (doc_id, pos)), not per
+    maximal span — when a duplicated passage's windows also occur in other
+    contexts, different windows' canonicals can land in different docs and
+    every complete copy of the passage may be partially cut, i.e. the
+    guarantee is weaker than Lee et al.'s keep-one-occurrence-per-span: a
+    passage whose windows are shared with other contexts may survive
+    nowhere intact.
+
     The rule operates on the WHITESPACE-COLLAPSED, CASE-PRESERVED text:
     matching is case-sensitive exactly as the paper's raw-byte suffix-array
     matching, and case survives the rewrite (lowercasing a training corpus

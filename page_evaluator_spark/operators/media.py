@@ -249,14 +249,19 @@ def pack_interleaved_sequences(docs: DataFrame, budget: int = 256,
     from .skew import ensure_min_parallelism
 
     zero = F.lit(0).cast("long")
-    text_toks = F.aggregate(
+    # NULL-spans guard (ADVICE r6): F.size(NULL array) is -1 and
+    # F.aggregate over NULL is NULL — a span-less upstream doc would
+    # otherwise contribute a NEGATIVE media count / NULL cost and corrupt
+    # its bin assignment; greatest/coalesce make it cost 0, matching the
+    # DuckDB twin's coalesce(..., 0).  Identical on every non-NULL array.
+    text_toks = F.coalesce(F.aggregate(
         F.col("spans"), zero,
         lambda acc, s: acc + F.when(
             (~s["kind"].isin(*MEDIA_KINDS)) & s["text"].isNotNull(),
             F.regexp_count(s["text"], F.lit(PORTABLE_TOKEN_RE))
-            .cast("long")).otherwise(zero))
-    n_media = F.size(F.filter(
-        F.col("spans"), lambda s: s["kind"].isin(*MEDIA_KINDS))).cast("long")
+            .cast("long")).otherwise(zero)), zero)
+    n_media = F.greatest(zero, F.size(F.filter(
+        F.col("spans"), lambda s: s["kind"].isin(*MEDIA_KINDS))).cast("long"))
     costed = (ensure_min_parallelism(docs)
               .select("doc_id",
                       doc_hash_bucket(F.col("doc_id"), n_shards).alias("shard"),

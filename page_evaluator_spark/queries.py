@@ -2194,8 +2194,11 @@ def eval_split_assignment(spark, sf_dir):
     (r6): the split bucket is md5 of the text itself (NULL → ''), not of
     doc_id, so byte-identical duplicates land in the SAME split by
     construction — dedup-survivor choice can never move shared content
-    across the train/eval boundary (the C4/GPT-3 eval-leakage lesson;
-    `decontaminate_against_eval` covers the near-dup side).  80/10/10 via
+    across the train/eval boundary (the C4/GPT-3 eval-leakage lesson).
+    NEAR-dup leakage across the boundary is NOT guarded here: run an
+    n-gram decontamination pass with the val/test splits as the benchmark
+    side (`benchmark_contamination`, operators/curation.py, takes any
+    gram set) before release.  80/10/10 via
     doc_hash_bucket's first-32-bits-mod-100 rule applied to the content
     fingerprint itself (hashed once): bucket < 80 → train, < 90 → val,
     else test.

@@ -474,8 +474,13 @@ def run_daily_ingest_dedup(spark: SparkSession, new_docs_dir: str,
 
     In-day self-duplicates are out of scope by contract: new docs compare
     against the reference index snapshot taken at stream start (the batch
-    minhash_lsh_candidates operator owns within-corpus dedup).  Docs with
-    no shingles produce no bands and always survive.
+    minhash_lsh_candidates operator owns within-corpus dedup).  NOTE the
+    consequence (ADVICE r6): two near-identical docs landing in the SAME
+    run both survive into clean_new and the index, and later runs never
+    retroactively dedup clean_new — a deployment that cares must run the
+    batch within-corpus dedup over each day's clean_new before shipping it
+    downstream.  Docs with no shingles produce no bands and always
+    survive.
 
     Returns counts: processed / duplicates / survivors / index_size."""
     from ..operators.dedup import minhash_band_keys_expr, reference_band_index

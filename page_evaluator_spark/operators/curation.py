@@ -497,20 +497,32 @@ def _targets_from_totals(totals: list[tuple[str, int]], alpha_den: int,
 
 
 def _mixture_base(docs: DataFrame, text_col: str, source_col: str,
-                  id_col: str) -> DataFrame:
+                  id_col: str, with_n_tok: bool = True) -> DataFrame:
     """(doc_id, source, n_tok, shuf, shard, doc_key) — the narrow per-doc
     frame every mixture pass projects.  shard = first two hex chars of the
     md5 shuffle key: a CONTIGUOUS md5-range slice of the per-source
     (shuf, doc_id) order (lowercase hex strings sort like their numeric
     value), so per-shard token totals prefix-sum to exactly the global
-    per-source running total."""
+    per-source running total.
+
+    with_n_tok=False carries the raw text as `_text` instead of the token
+    count (r7): the selection pass only needs n_tok INSIDE boundary shards
+    (~1/256 of one source), but an eager n_tok is evaluated for every row
+    that reaches the shard-class join — deferring the tokenization to
+    after the boundary filter removes a full corpus tokenize pass from
+    domain_mixture_sample / domain_mixture_keep (the phase-1 stats pass
+    still pays exactly one)."""
     from .skew import ensure_min_parallelism
 
-    n_tok = F.regexp_count(F.col(text_col), F.lit(PORTABLE_TOKEN_RE))
+    if with_n_tok:
+        payload = (F.regexp_count(F.col(text_col), F.lit(PORTABLE_TOKEN_RE))
+                   .cast("long").alias("n_tok"))
+    else:
+        payload = F.col(text_col).alias("_text")
     return (ensure_min_parallelism(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(source_col).alias("source"),
-                    n_tok.cast("long").alias("n_tok"),
+                    payload,
                     F.md5(F.col(id_col).cast("string")).alias("shuf"))
             .withColumn("shard", F.conv(F.substring("shuf", 1, 2), 16, 10)
                         .cast("int"))
@@ -587,7 +599,10 @@ def _mixture_selection(docs: DataFrame, alpha_num: int, alpha_den: int,
     cls_df = F.broadcast(spark.createDataFrame(
         cls_rows, "source: string, shard: int, cls: string, "
                   "shard_off: long, target_tokens: long"))
-    sel = (_mixture_base(docs, text_col, source_col, id_col)
+    # the selection side defers tokenization (`_text`, not n_tok) — only
+    # _boundary_cum's post-filter projection pays it, on boundary rows only
+    sel = (_mixture_base(docs, text_col, source_col, id_col,
+                         with_n_tok=False)
            .join(cls_df, ["source", "shard"]))
     keepall_rows = [(s, tgt[s][0], tgt[s][1], ka[0], ka[1], ka[2])
                     for s, ka in sorted(keepall.items())]
@@ -598,12 +613,17 @@ def _boundary_cum(sel: DataFrame) -> DataFrame:
     """Per-doc running token totals inside boundary shards only: the window
     partitions by (source, shard) — never by source alone — and the global
     cum is shard_off + the within-shard prefix sum (exact because shards
-    are contiguous slices of the (shuf, doc_id) order)."""
+    are contiguous slices of the (shuf, doc_id) order).  n_tok is computed
+    HERE, after the boundary filter and before the window exchange (so the
+    exchange carries a long, never text) — the r6 shape tokenized every
+    row that reached the shard-class join (r7, guide §1.2)."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy("source", "shard").orderBy("shuf", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_tok = F.regexp_count(F.col("_text"), F.lit(PORTABLE_TOKEN_RE))
     return (sel.where(F.col("cls") == "boundary")
+            .withColumn("n_tok", n_tok.cast("long")).drop("_text")
             .withColumn("cum", F.col("shard_off") + F.sum("n_tok").over(w)))
 
 

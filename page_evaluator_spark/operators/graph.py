@@ -20,9 +20,14 @@ re-run can reorder equal-score tails.  Integer mass makes the operator
 idempotent across retries/cluster sizes — the same property the rest of the
 engine guarantees (md5 sampling, fixed-point k-means).
 
-Scale shape per iteration: one join ranks⋈edges on src (edges pre-cogrouped
-by src at production scale — bucketed storage makes it exchange-free), one
-map-side-combined sum by dst, one left join back to the node list.  A driver
+Scale shape per iteration (r7: edges stage as a per-src ADJACENCY LIST —
+the broadcast-hash probe runs once per source, not per edge): one join
+ranks⋈adjacency on src (pre-cogrouped by src at production scale — bucketed
+storage makes it exchange-free), a Generate over each source's dst array,
+one map-side-combined sum by dst, one left join back to the node list.
+Dimension-sized graphs (≤ _DRIVER_EDGE_LIMIT distinct edges) skip the
+distributed loop entirely and run the identical recurrence driver-side
+(bit-equality pinned by test).  A driver
 loop of FIXED iterations (PageRank converges geometrically; 10 rounds ≈
 damping^10 < 0.2% residual), lineage truncated per round exactly like
 connected_components.  Dangling nodes (no out-edges) leak their damped mass

@@ -1333,7 +1333,15 @@ GROUP BY d.doc_id ORDER BY doc_id
 
 
 def _purchase_edges(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # SHUFFLE_HASH on the orders side (r7, guide §3.1): the build side of
+    # each partition is the orderkey-hashed slice of a UNIQUE-key dimension
+    # — bounded per partition at any sf and skew-free by construction — so
+    # the shuffled-hash join drops sort-merge's two full sorts of the edge
+    # derivation (interleaved A/B at 10× sf0.1: staging 1.81 → 1.30 s,
+    # identical edge set).  Deliberately NOT a broadcast: orders grows
+    # linearly with sf and a broadcast hint would stop fitting exactly when
+    # the driver escalates scale.
+    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
     li = load(spark, sf_dir, "lineitem")
     return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
             .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),

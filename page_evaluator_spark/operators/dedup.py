@@ -550,10 +550,18 @@ def _dup_window_positions(docs: DataFrame, width: int, min_docs: int,
                + F.col("pos"))
         per_doc = (occ.groupBy("h1", "h2", "doc_id")
                    .agg(F.min("pos").alias("pos")))
+        # SHUFFLE_HASH build on the dup side (r7, guide §3.1): both sides
+        # share occ's (h1, h2) partitioning via exchange reuse, and dup
+        # (aggregated + filtered to >= min_docs windows) is the small side
+        # per partition at any scale — the hint pins the join sort-free
+        # where a sort-merge fallback would SORT the O(total chars) window
+        # stream once dup outgrows the broadcast threshold (measured
+        # equal-or-better locally; the point is the 100 TB plan shape).
         dup = (per_doc.groupBy("h1", "h2")
                .agg(F.count("*").alias("n_docs"), F.min(enc).alias("cenc"))
                .where(F.col("n_docs") >= min_docs)
-               .select("h1", "h2", "cenc"))
+               .select("h1", "h2", "cenc")
+               .hint("shuffle_hash"))
         return (occ.join(dup, ["h1", "h2"])
                 .where(enc != F.col("cenc"))
                 .select("doc_id", "pos"))

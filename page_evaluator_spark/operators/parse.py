@@ -23,10 +23,9 @@ from __future__ import annotations
 import unicodedata
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
-from typing import Any
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import regex
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +46,27 @@ PARSED_SCHEMA = (
     "page_id string, ocr_engine string, ocr_capabilities array<string>, "
     "props map<string,string>, error string"
 )
+
+# (DDL type, Arrow type) per PARSED_SCHEMA field, in schema order — the
+# column-pruned kernels (guide §4.1: an opaque Python function ships every
+# declared output column through the Arrow boundary, so each pipeline branch
+# declares only the columns it consumes) build their subset schema from this.
+_FIELDS: dict[str, tuple[str, pa.DataType]] = {
+    "doc_id": ("string", pa.string()),
+    "span_offset": ("int", pa.int32()),
+    "pos": ("int", pa.int32()),
+    "kind": ("string", pa.string()),
+    "text": ("string", pa.string()),
+    "media_ref": ("string", pa.string()),
+    "line_idx": ("int", pa.int32()),
+    "tok_idx": ("int", pa.int32()),
+    "page_id": ("string", pa.string()),
+    "ocr_engine": ("string", pa.string()),
+    "ocr_capabilities": ("array<string>", pa.list_(pa.string())),
+    "props": ("map<string,string>", pa.map_(pa.string(), pa.string())),
+    "error": ("string", pa.string()),
+}
+ALL_COLUMNS: tuple[str, ...] = tuple(_FIELDS)
 
 # --- TXT path (TxtPage.java:24,41-54) --------------------------------------
 # Java \s / \S here are ASCII-only (no UNICODE_CHARACTER_CLASS).
@@ -102,10 +122,27 @@ def _title_props(title: str) -> dict[str, str]:
     return props
 
 
+def _title_props_check(title: str) -> None:
+    """Validation-only `_title_props`: raises the IDENTICAL ValueError on the
+    same (first) malformed segment, but skips the dict build.  Used by the
+    column-pruned kernels that do not emit `props` — the crash parity that
+    turns a bad title into an error row must hold regardless of which output
+    columns a branch consumes."""
+    segs = title.split(";")
+    if len(segs) > 1:
+        while segs and segs[-1] == "":
+            segs.pop()
+    for seg in segs:
+        seg = seg.strip(_JAVA_TRIM)
+        if seg.find(" ") < 0:
+            raise ValueError(f"bad hOCR title segment: {seg!r}")
+
+
 def _parse_hocr(
     xml_text: str,
-) -> tuple[list[str], list[bool], list[dict[str, str]], list[int], list[int],
-           str, str, list[str]]:
+    want_props: bool = True,
+) -> tuple[list[str], list[bool], list[dict[str, str]] | None, list[int],
+           list[int], str, str, list[str]]:
     """→ (token_texts, is_last_on_line flags, per-token title props,
     per-token line indices, per-token within-line indices, page_id, engine,
     capabilities).
@@ -113,6 +150,9 @@ def _parse_hocr(
     Raises ValueError on anything the reference turns into PageParserException
     or a crash (missing ocr_page → NPE, HOCRPage.java:53-61; malformed title
     segment → StringIndexOutOfBounds, HOCRToken.java:22-29).
+
+    want_props=False validates every title (same errors, same order) but
+    returns None instead of the per-token dicts — the pruned-kernel path.
     """
     try:
         root = ET.fromstring(xml_text)
@@ -136,7 +176,7 @@ def _parse_hocr(
 
     texts: list[str] = []
     last: list[bool] = []
-    props: list[dict[str, str]] = []
+    props: list[dict[str, str]] | None = [] if want_props else None
     lines: list[int] = []
     toks: list[int] = []
     li = -1
@@ -146,7 +186,10 @@ def _parse_hocr(
         if n:
             li += 1
         for i, w in enumerate(words):
-            props.append(_title_props(w.get("title", "")))  # HOCRToken.java:20-29
+            if want_props:  # HOCRToken.java:20-29 (check-only keeps crash parity)
+                props.append(_title_props(w.get("title", "")))
+            else:
+                _title_props_check(w.get("title", ""))
             texts.append("".join(w.itertext()))  # getTextContent, HOCRToken.java:40-42
             last.append(i == n - 1)  # HOCRTokenIterator.java:45
             lines.append(li)
@@ -229,119 +272,130 @@ def _fold_tokens(texts: list[str], is_last: list[bool]) -> tuple[list[str], list
 
 
 class _Out:
-    """Column accumulator for one output batch."""
+    """Column accumulator for one output batch (subset-aware: only the
+    columns a branch declared are materialized and serialized)."""
 
-    __slots__ = ("cols",)
-    _names = ["doc_id", "span_offset", "pos", "kind", "text", "media_ref",
-              "line_idx", "tok_idx", "page_id", "ocr_engine", "ocr_capabilities",
-              "props", "error"]
+    __slots__ = ("names", "cols")
 
-    def __init__(self) -> None:
-        self.cols: dict[str, list[Any]] = {n: [] for n in self._names}
+    def __init__(self, names: tuple[str, ...]) -> None:
+        self.names = names
+        self.cols: dict[str, list] = {n: [] for n in names}
 
     def add(self, doc_id, span_offset, pos, kind, text=None, media_ref=None,
             line_idx=None, tok_idx=None, page_id=None, engine=None, caps=None,
             props=None, error=None) -> None:
-        c = self.cols
-        c["doc_id"].append(doc_id)
-        c["span_offset"].append(span_offset)
-        c["pos"].append(pos)
-        c["kind"].append(kind)
-        c["text"].append(text)
-        c["media_ref"].append(media_ref)
-        c["line_idx"].append(line_idx)
-        c["tok_idx"].append(tok_idx)
-        c["page_id"].append(page_id)
-        c["ocr_engine"].append(engine)
-        c["ocr_capabilities"].append(caps)
-        c["props"].append(props)
-        c["error"].append(error)
+        all_vals = {"doc_id": doc_id, "span_offset": span_offset, "pos": pos,
+                    "kind": kind, "text": text, "media_ref": media_ref,
+                    "line_idx": line_idx, "tok_idx": tok_idx,
+                    "page_id": page_id, "ocr_engine": engine,
+                    "ocr_capabilities": caps, "props": props, "error": error}
+        for n, col in self.cols.items():
+            col.append(all_vals[n])
 
     def add_words(self, doc_id, span_offset: int, toks: list[str],
-                  lines: list[int], tok_idxs: list[int],
+                  lines: list[int] | None, tok_idxs: list[int] | None,
                   props: list[dict] | None = None) -> None:
-        """Bulk emit of a span's word rows (13 list-extends instead of
-        13×n appends — the kernel's hot path)."""
+        """Bulk emit of a span's word rows (one list-extend per DECLARED
+        column instead of 13×n appends — the kernel's hot path)."""
         k = len(toks)
         if k == 0:
             return
         c = self.cols
-        c["doc_id"].extend([doc_id] * k)
-        c["span_offset"].extend([span_offset] * k)
-        c["pos"].extend(range(k))
-        c["kind"].extend(["word"] * k)
-        c["text"].extend(toks)
-        c["media_ref"].extend([None] * k)
-        c["line_idx"].extend(lines)
-        c["tok_idx"].extend(tok_idxs)
-        c["page_id"].extend([None] * k)
-        c["ocr_engine"].extend([None] * k)
-        c["ocr_capabilities"].extend([None] * k)
-        c["props"].extend(props if props is not None else [None] * k)
-        c["error"].extend([None] * k)
+        nones = None
+        for n in self.names:
+            if n == "doc_id":
+                c["doc_id"].extend([doc_id] * k)
+            elif n == "span_offset":
+                c["span_offset"].extend([span_offset] * k)
+            elif n == "pos":
+                c["pos"].extend(range(k))
+            elif n == "kind":
+                c["kind"].extend(["word"] * k)
+            elif n == "text":
+                c["text"].extend(toks)
+            elif n == "line_idx":
+                c["line_idx"].extend(lines)
+            elif n == "tok_idx":
+                c["tok_idx"].extend(tok_idxs)
+            elif n == "props" and props is not None:
+                c["props"].extend(props)
+            else:  # media_ref / page_id / ocr_engine / caps / error / null props
+                if nones is None:
+                    nones = [None] * k
+                c[n].extend(nones)
 
-    def frame(self) -> pd.DataFrame:
-        # build columns as object arrays up-front: skips pandas' per-column
-        # type inference (was ~20% of kernel time at scale)
-        data = {}
-        for name, values in self.cols.items():
-            if name in ("span_offset", "pos", "line_idx", "tok_idx"):
-                data[name] = pd.array(values, dtype="Int32")
-            else:
-                arr = np.empty(len(values), dtype=object)
-                arr[:] = values
-                data[name] = arr
-        return pd.DataFrame(data, copy=False)
+    def batch(self) -> pa.RecordBatch:
+        # build Arrow arrays directly from the python lists: no pandas frame,
+        # no object-ndarray detour, no serializer-side re-conversion
+        arrays = [pa.array(self.cols[n], type=_FIELDS[n][1]) for n in self.names]
+        return pa.RecordBatch.from_arrays(arrays, names=list(self.names))
 
 
-def _parse_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel over exploded span rows
-    (doc_id, span_offset, kind, text, media_ref)."""
-    for pdf in batches:
-        out = _Out()
-        for doc_id, span_offset, kind, text, media_ref in zip(
-                pdf["doc_id"], pdf["span_offset"], pdf["kind"], pdf["text"], pdf["media_ref"]):
-            if kind is None or (isinstance(kind, float)) or pd.isna(span_offset):
-                out.add(doc_id, 0, 0, "empty")  # zero-span document marker
-                continue
-            span_offset = int(span_offset)
-            if kind in MEDIA_KINDS:
-                out.add(doc_id, span_offset, 0, kind, media_ref=media_ref)
-                continue
-            try:
-                if kind == "hocr":
-                    (texts, last, tprops, lines, toks,
-                     page_id, engine, caps) = _parse_hocr(text or "")
-                    out.add(doc_id, span_offset, -1, "page", page_id=page_id,
-                            engine=engine, caps=caps)
-                    folded_t, src = _fold_tokens(texts, last)
-                    out_lines = [lines[i] for i in src]
-                    out_toks = [toks[i] for i in src]
-                    out_props = [tprops[i] for i in src]
-                elif kind in ("text", "html"):
-                    if kind == "html":
-                        # boilerplate strip first (functions/html.py frozen
-                        # rule), then the TXT tokenizer path
-                        from ..functions.html import extract_main_text
+def _make_parse_kernel(columns: tuple[str, ...]):
+    """mapInArrow kernel factory over exploded span rows
+    (doc_id, span_offset, kind, text, media_ref), emitting only `columns`.
 
-                        text = extract_main_text(text or "")
-                    tok_texts = _tokenize_txt(text or "")
-                    # TxtToken.isLastTokenOnLine() == false always (TxtToken.java:19-21)
-                    folded_t, src = _fold_tokens(tok_texts, [False] * len(tok_texts))
-                    out_lines = [0] * len(folded_t)
-                    out_toks = src
-                    out_props = None
-                else:
-                    raise ValueError(f"Unsupported format: {kind}")  # Main.java:87-88
-            except ValueError as e:
-                out.add(doc_id, span_offset, -1, "error", error=str(e))
-                continue
-            if not folded_t and kind in ("text", "html"):
-                # token-less TXT span: keep the doc_id alive in the parsed
-                # relation (hOCR spans already emit a 'page' metadata row)
-                out.add(doc_id, span_offset, -1, "empty")
-            out.add_words(doc_id, span_offset, folded_t, out_lines, out_toks, out_props)
-        yield out.frame()
+    Parsing work is IDENTICAL for every column subset (a branch that never
+    reads `props` still validates each hOCR title so error rows match); only
+    the materialization/serialization of the dropped columns is skipped.
+    """
+    want_props = "props" in columns
+    want_lines = "line_idx" in columns
+    want_toks = "tok_idx" in columns
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            out = _Out(columns)
+            for doc_id, span_offset, kind, text, media_ref in zip(
+                    rb.column("doc_id").to_pylist(),
+                    rb.column("span_offset").to_pylist(),
+                    rb.column("kind").to_pylist(),
+                    rb.column("text").to_pylist(),
+                    rb.column("media_ref").to_pylist()):
+                if kind is None or span_offset is None:
+                    out.add(doc_id, 0, 0, "empty")  # zero-span document marker
+                    continue
+                if kind in MEDIA_KINDS:
+                    out.add(doc_id, span_offset, 0, kind, media_ref=media_ref)
+                    continue
+                try:
+                    if kind == "hocr":
+                        (texts, last, tprops, lines, toks,
+                         page_id, engine, caps) = _parse_hocr(
+                            text or "", want_props=want_props)
+                        out.add(doc_id, span_offset, -1, "page", page_id=page_id,
+                                engine=engine, caps=caps)
+                        folded_t, src = _fold_tokens(texts, last)
+                        out_lines = [lines[i] for i in src] if want_lines else None
+                        out_toks = [toks[i] for i in src] if want_toks else None
+                        out_props = [tprops[i] for i in src] if want_props else None
+                    elif kind in ("text", "html"):
+                        if kind == "html":
+                            # boilerplate strip first (functions/html.py frozen
+                            # rule), then the TXT tokenizer path
+                            from ..functions.html import extract_main_text
+
+                            text = extract_main_text(text or "")
+                        tok_texts = _tokenize_txt(text or "")
+                        # TxtToken.isLastTokenOnLine() == false always (TxtToken.java:19-21)
+                        folded_t, src = _fold_tokens(tok_texts, [False] * len(tok_texts))
+                        out_lines = [0] * len(folded_t) if want_lines else None
+                        out_toks = src if want_toks else None
+                        out_props = None
+                    else:
+                        raise ValueError(f"Unsupported format: {kind}")  # Main.java:87-88
+                except ValueError as e:
+                    out.add(doc_id, span_offset, -1, "error", error=str(e))
+                    continue
+                if not folded_t and kind in ("text", "html"):
+                    # token-less TXT span: keep the doc_id alive in the parsed
+                    # relation (hOCR spans already emit a 'page' metadata row)
+                    out.add(doc_id, span_offset, -1, "empty")
+                out.add_words(doc_id, span_offset, folded_t, out_lines, out_toks,
+                              out_props)
+            yield out.batch()
+
+    return kernel
 
 
 def explode_docs(docs: DataFrame) -> DataFrame:
@@ -361,14 +415,33 @@ def explode_docs(docs: DataFrame) -> DataFrame:
     # parsed relation (and therefore gets a score row) without any extra join.
 
 
-def parse_spans(span_rows: DataFrame, repartition: int | None = None) -> DataFrame:
-    """Span rows → parsed relation (PARSED_SCHEMA) via Arrow-batched mapInPandas."""
+def parse_spans(span_rows: DataFrame, repartition: int | None = None,
+                columns: tuple[str, ...] | None = None) -> DataFrame:
+    """Span rows → parsed relation (PARSED_SCHEMA) via Arrow-native mapInArrow.
+
+    columns (default: every PARSED_SCHEMA field) prunes the kernel's OUTPUT
+    to the subset a branch consumes — Spark cannot see through the opaque
+    Python function, so undeclared columns would otherwise be computed and
+    shipped through the Arrow boundary just to be dropped (guide §4.1).
+    Parsing semantics (incl. which spans become error rows) are identical
+    for every subset.
+    """
+    if columns is None:
+        columns = ALL_COLUMNS
+    else:  # normalize to PARSED_SCHEMA order (and reject unknown names)
+        unknown = set(columns) - set(ALL_COLUMNS)
+        if unknown:
+            raise ValueError(f"unknown parsed columns: {sorted(unknown)}")
+        columns = tuple(n for n in ALL_COLUMNS if n in set(columns))
     if repartition:
         # hash-spread spans (incl. a giant doc's spans) across the cluster
         span_rows = span_rows.repartition(repartition, "doc_id", "span_offset")
-    return span_rows.mapInPandas(_parse_span_batches, schema=PARSED_SCHEMA)
+    schema = ", ".join(f"{n} {_FIELDS[n][0]}" for n in columns)
+    return span_rows.mapInArrow(_make_parse_kernel(columns), schema=schema)
 
 
-def parse_documents(docs: DataFrame, repartition: int | None = None) -> DataFrame:
+def parse_documents(docs: DataFrame, repartition: int | None = None,
+                    columns: tuple[str, ...] | None = None) -> DataFrame:
     """(doc_id, spans) documents table → parsed relation."""
-    return parse_spans(explode_docs(docs), repartition=repartition)
+    return parse_spans(explode_docs(docs), repartition=repartition,
+                       columns=columns)

@@ -5,7 +5,7 @@ parse → calculateStatistics → scores flow, widened to a corpus).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from functools import cached_property
 
 from pyspark.sql import DataFrame
 
@@ -14,57 +14,82 @@ from ..operators.score import score_pages
 from ..operators.spans import page_meta, quarantine, spans_out, token_props
 
 
-@dataclass
 class PipelineOutputs:
-    parsed: DataFrame
-    page_scores: DataFrame
-    spans_out: DataFrame
-    quarantine: DataFrame
-    page_meta: DataFrame
-    token_props: DataFrame
+    """Lazy view over the pipeline's output branches.
+
+    Each branch plan is built on first attribute access (cached after).
+    Building a branch costs real driver time (a py4j round-trip per
+    DataFrame operation plus pickling the branch's Arrow kernel), so a
+    caller that sinks two branches should not pay for six — at local[2]
+    the eager form spent ~0.5 s per `evaluate_documents` call building
+    plans the bench never touched.
+    """
+
+    def __init__(self, docs: DataFrame, repartition: int | None,
+                 parsed: DataFrame | None = None) -> None:
+        self._docs = docs
+        self._repartition = repartition
+        # cache_parsed mode: one shared, persisted full-schema relation
+        self._shared = parsed
+
+    def _pruned(self, columns: tuple[str, ...]) -> DataFrame:
+        """Shared persisted relation if caching, else a column-pruned parse
+        (guide §4.1: the opaque Python stage otherwise computes and ships
+        all 13 PARSED_SCHEMA columns when a branch consumes three).  Branch
+        outputs are bit-identical either way — the kernel's parsing work
+        (incl. error-row parity) does not depend on the declared columns."""
+        if self._shared is not None:
+            return self._shared
+        return parse_documents(self._docs, repartition=self._repartition,
+                               columns=columns)
+
+    @cached_property
+    def parsed(self) -> DataFrame:
+        if self._shared is not None:
+            return self._shared
+        return parse_documents(self._docs, repartition=self._repartition)
+
+    @cached_property
+    def page_scores(self) -> DataFrame:
+        return score_pages(self._pruned(("doc_id", "kind", "text")))
+
+    @cached_property
+    def spans_out(self) -> DataFrame:
+        return spans_out(self._pruned(("doc_id", "span_offset", "pos", "kind",
+                                       "text", "media_ref")))
+
+    @cached_property
+    def quarantine(self) -> DataFrame:
+        return quarantine(self._pruned(("doc_id", "span_offset", "kind",
+                                        "error")))
+
+    @cached_property
+    def page_meta(self) -> DataFrame:
+        return page_meta(self._pruned(("doc_id", "span_offset", "kind",
+                                       "page_id", "ocr_engine",
+                                       "ocr_capabilities")))
+
+    @cached_property
+    def token_props(self) -> DataFrame:
+        return token_props(self._pruned(("doc_id", "span_offset", "pos",
+                                         "kind", "text", "props")))
 
 
 def evaluate_documents(docs: DataFrame, repartition: int | None = None,
                        cache_parsed: bool = False) -> PipelineOutputs:
-    """Build the full logical plan (lazy; nothing executes here).
+    """Build the pipeline's logical plans (lazy; nothing executes here).
 
     cache_parsed=True persists the parse-UDF output (MEMORY_AND_DISK) so the
-    four output branches share one parse pass instead of re-running the
-    Python stage per sink — the right call whenever ≥2 outputs are written.
+    output branches share one parse pass instead of re-running the Python
+    stage per sink — the right call whenever ≥2 outputs are written.
 
-    cache_parsed=False (each sink re-runs its own parse) gives every branch a
-    COLUMN-PRUNED parse kernel instead: the opaque Python stage otherwise
-    computes and ships all 13 PARSED_SCHEMA columns through the Arrow
-    boundary when e.g. the scores branch reads three of them (guide §4.1).
-    Branch outputs are bit-identical either way — the kernel's parsing work
-    (incl. error-row parity) does not depend on the declared columns.
+    cache_parsed=False (each sink re-runs its own parse) gives every branch
+    a COLUMN-PRUNED parse kernel instead; see PipelineOutputs._pruned.
     """
-    parsed = parse_documents(docs, repartition=repartition)
     if cache_parsed:
         from pyspark import StorageLevel
 
+        parsed = parse_documents(docs, repartition=repartition)
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
-        return PipelineOutputs(
-            parsed=parsed,
-            page_scores=score_pages(parsed),
-            spans_out=spans_out(parsed),
-            quarantine=quarantine(parsed),
-            page_meta=page_meta(parsed),
-            token_props=token_props(parsed),
-        )
-
-    def pruned(columns: tuple[str, ...]) -> DataFrame:
-        return parse_documents(docs, repartition=repartition, columns=columns)
-
-    return PipelineOutputs(
-        parsed=parsed,
-        page_scores=score_pages(pruned(("doc_id", "kind", "text"))),
-        spans_out=spans_out(pruned(("doc_id", "span_offset", "pos", "kind",
-                                    "text", "media_ref"))),
-        quarantine=quarantine(pruned(("doc_id", "span_offset", "kind",
-                                      "error"))),
-        page_meta=page_meta(pruned(("doc_id", "span_offset", "kind", "page_id",
-                                    "ocr_engine", "ocr_capabilities"))),
-        token_props=token_props(pruned(("doc_id", "span_offset", "pos", "kind",
-                                        "text", "props"))),
-    )
+        return PipelineOutputs(docs, repartition, parsed=parsed)
+    return PipelineOutputs(docs, repartition)

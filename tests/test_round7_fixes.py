@@ -215,3 +215,24 @@ def test_worker_python_wrapper_mechanics():
             os.environ.pop("PYSPARK_PYTHON", None)
         else:
             os.environ["PYSPARK_PYTHON"] = old
+
+
+def test_parse_kernel_output_is_column_pruned(spark):
+    """r7: each uncached pipeline branch declares only the parsed columns it
+    consumes, so the Arrow boundary never ships the other ten (guide §4.1).
+    Pinned on the scores branch: the Python node is MapInArrow and its
+    output is exactly (doc_id, kind, text)."""
+    from page_evaluator_spark.plans.pipeline import evaluate_documents
+
+    docs = spark.createDataFrame(
+        [(1, [("text", "some words here", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    plan = evaluate_documents(docs).page_scores._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    import re
+    args = re.search(r"MapInArrow .*?#\d+, \[([^\]]*)\]", plan)
+    assert args, plan
+    cols = [c.split("#")[0].strip() for c in args.group(1).split(",")]
+    assert cols == ["doc_id", "kind", "text"], cols

@@ -80,22 +80,26 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
-    # Loop-invariant ADJACENCY LIST staged ONCE behind ONE exchange: the
-    # repartition by src satisfies ClusteredDistribution for BOTH the
-    # (src, dst) dedup (equal pairs share a src, hence a partition) and the
-    # per-src grouping, so distinct → collect_list attaches with no further
-    # shuffle; deg is size(dsts), no window needed.  Versus the r6 row-per-
-    # edge staging (src, dst, deg): the checkpointed relation shrinks to
-    # |src| rows, each round's broadcast-hash probe runs once per SOURCE
-    # instead of once per EDGE, and the per-edge contribution is a Generate
-    # over the array in the same codegen stage — measured 17.1 s → 12.0 s
+    # Loop-invariant ADJACENCY LIST staged ONCE behind ONE exchange:
+    # collect_set fuses the (src, dst) dedup and the per-src collection
+    # into a single aggregate WITH map-side partials, so the one exchange
+    # carries partially-deduped per-src sets instead of raw edge rows (the
+    # r7.0 repartition→dropDuplicates→collect_list form shuffled every raw
+    # edge and ran a second aggregate pass: 3.06 s → 2.10 s at the 10×
+    # replica, interleaved, identical adjacency sets).  The array ORDER is
+    # partition-dependent either way; every consumer is order-blind
+    # (size(), explode+integer sum, the driver-path dict fold), so ranks
+    # stay bit-identical.  Versus the r6 row-per-edge staging
+    # (src, dst, deg): the checkpointed relation shrinks to |src| rows,
+    # each round's broadcast-hash probe runs once per SOURCE instead of
+    # once per EDGE, and the per-edge contribution is a Generate over the
+    # array in the same codegen stage — measured 17.1 s → 12.0 s
     # end-to-end at 10× sf0.1 (5.9 M edges), bit-identical mass.  Skew note:
     # a hub source's out-edges become one array row (~4 MB per million
     # edges) — the standard adjacency-list representation; beyond ~10⁷
     # out-edges per node, split hub rows before calling this operator.
     ed = _truncate_lineage(
-        e.repartition(F.col("src")).dropDuplicates(["src", "dst"])
-        .groupBy("src").agg(F.collect_list("dst").alias("dsts")))
+        e.groupBy("src").agg(F.collect_set("dst").alias("dsts")))
     # Dimension-sized graphs (e.g. the |sources|²-bounded copy graph of
     # curation_source_prior — 20 nodes) pay ~30 driver-scheduled jobs in the
     # distributed loop, all fixed overhead.  The staged edge relation is

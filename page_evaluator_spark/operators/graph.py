@@ -116,13 +116,17 @@ def pagerank_int(edges: DataFrame, src: str = "src", dst: str = "dst",
                                     redistribute_dangling)
     # nodes carry the LOOP-INVARIANT dangling flag (no out-edges) so the
     # redistribute mode reads the per-round dangling mass off the rank table
-    # with a filter+sum instead of re-running an anti-join every round
+    # with a filter+sum instead of re-running an anti-join every round.
+    # ONE union-all + min aggregate derives node set and flag together
+    # (false < true, so min(_dang) is false exactly when the node appears
+    # as a src) — the r7.0 distinct-then-left-join form paid a second
+    # exchange pair for the same answer, and the map-side partial min-agg
+    # dedups the exploded dst stream before it shuffles.
     nodes = _truncate_lineage(
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.explode("dsts").alias("node"))).distinct()
-        .join(ed.select(F.col("src").alias("node")).distinct()
-              .withColumn("_dang", F.lit(False)), "node", "left")
-        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang")))
+        ed.select(F.col("src").alias("node"), F.lit(False).alias("_dang"))
+        .unionAll(ed.select(F.explode("dsts").alias("node"),
+                            F.lit(True).alias("_dang")))
+        .groupBy("node").agg(F.min("_dang").alias("_dang")))
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_i"),
